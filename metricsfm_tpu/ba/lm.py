@@ -1,0 +1,264 @@
+"""Schur-complement Levenberg-Marquardt bundle adjuster.
+
+Replaces Ceres DENSE_SCHUR + Huber + autodiff functors
+(SfM/src/optimizer.cc:44-135, utils/reprojection_error_*.h) with a
+TPU-native solver:
+
+* Per-observation 2-vector residuals and Jacobians come from one vmapped
+  ``jax.jacfwd`` over the (P, V) track tensor — the analogue of Ceres
+  autodiff, batched instead of per-block.
+* Huber robustness is IRLS: residual/Jacobian rows scaled by
+  sqrt(rho'(s)), s = |r|^2 (Ceres' corrector, to first order).
+* Elimination: point blocks H_pp are (P, 3, 3) batched inverses; the
+  reduced camera system S (6C+3M dofs) is assembled with segment-sums for
+  block-diagonals and a scan of static scatters for the track-induced
+  camera-camera fill — no dynamic shapes anywhere.
+* Mutability masks freeze dofs by zeroing their rows/cols and pinning the
+  diagonal, matching the reference's functor-selection matrix semantics
+  (optimizer.cc:86-125).
+* The LM loop is a ``lax.while_loop`` with accept/reject damping —
+  ``solve_lm`` is one jittable call, so "BA iterations/s" is a pure device
+  metric.
+
+Multi-chip: see parallel/sharded_ba.py — tracks are sharded over the data
+axis and every term of (S, rhs) is a per-shard partial sum combined with
+``psum``, which is exactly how the normal equations decompose.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import projection
+from .problem import BAProblem
+
+
+class LMConfig(NamedTuple):
+    max_iterations: int = 100
+    huber_delta: float = 1.0
+    init_lambda: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 2.0
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e10
+    rtol: float = 1e-8
+    jacobi_scale: bool = True
+
+
+def _residual_one(pose, intr, point, uv):
+    """2-vector reprojection residual for one observation."""
+    return projection.reprojection_residual(pose, intr, point, uv)
+
+
+def _obs_jacobians(problem: BAProblem):
+    """Residuals + Jacobians for every (P, V) observation slot.
+
+    Returns r (P,V,2), Jpose (P,V,2,6), Jintr (P,V,2,3), Jpt (P,V,2,3),
+    all pre-multiplied by sqrt(track_weight) but NOT by robust weights.
+    """
+    cam = problem.track_cam
+    poses = problem.poses[cam]              # (P,V,6)
+    intrs = problem.intrs[problem.cam_model[cam]]  # (P,V,3)
+    pts = problem.points[:, None, :].repeat(problem.max_views, 1)
+
+    def rj(pose, intr, pt, uv):
+        r = _residual_one(pose, intr, pt, uv)
+        Jpo, Jin, Jpt = jax.jacfwd(_residual_one, argnums=(0, 1, 2))(pose, intr, pt, uv)
+        return r, Jpo, Jin, Jpt
+
+    rj_v = jax.vmap(jax.vmap(rj))
+    r, Jpo, Jin, Jpt = rj_v(poses, intrs, pts, problem.track_uv)
+    w = jnp.sqrt(problem.track_weight)[:, None, None]
+    m = problem.track_mask.astype(r.dtype)[:, :, None]
+    r = r * w * m
+    scale = (w * m)[..., None]
+    return r * 1.0, Jpo * scale, Jin * scale, Jpt * scale
+
+
+def robust_weights(r, delta):
+    """sqrt(rho'(s)) for Huber rho (Ceres semantics: rho(s)=s | 2 d sqrt(s)-d^2)."""
+    s = jnp.sum(r * r, axis=-1)
+    w2 = jnp.where(s <= delta * delta, 1.0, delta / jnp.sqrt(jnp.maximum(s, 1e-20)))
+    return jnp.sqrt(w2)
+
+
+def robust_cost(r, mask, delta):
+    """Total Huber cost, 0.5 * sum rho(|r|^2) over valid observations."""
+    s = jnp.sum(r * r, axis=-1)
+    rho = jnp.where(s <= delta * delta, s, 2.0 * delta * jnp.sqrt(jnp.maximum(s, 1e-20)) - delta * delta)
+    return 0.5 * jnp.sum(rho * mask.astype(r.dtype))
+
+
+def compute_residuals(problem: BAProblem):
+    cam = problem.track_cam
+    poses = problem.poses[cam]
+    intrs = problem.intrs[problem.cam_model[cam]]
+    pts = problem.points[:, None, :].repeat(problem.max_views, 1)
+    r = jax.vmap(jax.vmap(_residual_one))(poses, intrs, pts, problem.track_uv)
+    w = jnp.sqrt(problem.track_weight)[:, None, None]
+    return r * w * problem.track_mask.astype(r.dtype)[:, :, None]
+
+
+def problem_cost(problem: BAProblem, huber_delta: float):
+    return robust_cost(compute_residuals(problem), problem.track_mask, huber_delta)
+
+
+def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig):
+    """One LM linearization: build Schur system, solve for (d_cam, d_pt)."""
+    C, M, P, V = (problem.n_cameras, problem.n_models, problem.n_points,
+                  problem.max_views)
+    D = 6 * C + 3 * M
+    dtype = problem.points.dtype
+
+    r, Jpo, Jin, Jpt = _obs_jacobians(problem)
+    # Huber IRLS scaling
+    rw = robust_weights(r, cfg.huber_delta)[..., None]
+    r = r * rw
+    Jpo = Jpo * rw[..., None]
+    Jin = Jin * rw[..., None]
+    Jpt = Jpt * rw[..., None]
+
+    cam = problem.track_cam            # (P,V)
+    model = problem.cam_model[cam]     # (P,V)
+
+    # per-view 9-dof camera jacobian [pose | intr]
+    Jc = jnp.concatenate([Jpo, Jin], axis=-1)          # (P,V,2,9)
+
+    # ---- gradient ----
+    g_pose = jnp.einsum("pvri,pvr->pvi", Jpo, r)        # (P,V,6)
+    g_intr = jnp.einsum("pvri,pvr->pvi", Jin, r)        # (P,V,3)
+    g_pt = jnp.einsum("pvri,pvr->pi", Jpt, r)           # (P,3)
+    gc_pose = jax.ops.segment_sum(g_pose.reshape(-1, 6), cam.reshape(-1), C)
+    gc_intr = jax.ops.segment_sum(g_intr.reshape(-1, 3), model.reshape(-1), M)
+    g_cam = jnp.concatenate([gc_pose.reshape(-1), gc_intr.reshape(-1)])  # (D,)
+
+    # ---- point blocks ----
+    Hpp = jnp.einsum("pvri,pvrj->pij", Jpt, Jpt)        # (P,3,3)
+    diag_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    # Marquardt damping on the diagonal:
+    Hpp_d = Hpp.at[:, jnp.arange(3), jnp.arange(3)].add(
+        lam * jnp.maximum(diag_pp, 1e-12) + 1e-12)
+    # frozen points: make block identity so inverse is benign; d_pt forced 0 later
+    pm = problem.point_mut[:, None, None]
+    Hpp_d = Hpp_d * pm + jnp.eye(3, dtype=dtype)[None] * (1.0 - pm)
+    Hpp_inv = jnp.linalg.inv(Hpp_d)                      # (P,3,3)
+
+    # ---- camera block-diagonals ----
+    Hpose = jnp.einsum("pvri,pvrj->pvij", Jpo, Jpo).reshape(-1, 6, 6)
+    Hintr = jnp.einsum("pvri,pvrj->pvij", Jin, Jin).reshape(-1, 3, 3)
+    Hpi = jnp.einsum("pvri,pvrj->pvij", Jpo, Jin).reshape(-1, 6, 3)
+    Hcc_pose = jax.ops.segment_sum(Hpose, cam.reshape(-1), C)   # (C,6,6)
+    Hcc_intr = jax.ops.segment_sum(Hintr, model.reshape(-1), M)  # (M,3,3)
+    Hcc_pi = jax.ops.segment_sum(Hpi, cam.reshape(-1), C)        # (C,6,3)
+
+    S = jnp.zeros((D, D), dtype)
+    # place pose-pose blocks on diagonal
+    pose_rows = (6 * jnp.arange(C)[:, None] + jnp.arange(6)[None, :])  # (C,6)
+    S = S.at[pose_rows[:, :, None], pose_rows[:, None, :]].add(Hcc_pose)
+    intr_rows = 6 * C + 3 * jnp.arange(M)[:, None] + jnp.arange(3)[None, :]
+    S = S.at[intr_rows[:, :, None], intr_rows[:, None, :]].add(Hcc_intr)
+    pi_cols = 6 * C + 3 * problem.cam_model[:, None] + jnp.arange(3)[None, :]  # (C,3)
+    S = S.at[pose_rows[:, :, None], pi_cols[:, None, :]].add(Hcc_pi)
+    S = S.at[pi_cols[:, :, None], pose_rows[:, None, :]].add(
+        jnp.swapaxes(Hcc_pi, -1, -2))
+
+    # ---- Schur subtraction: S -= sum_p E_p Hpp_inv E_p^T ----
+    # W (P,V,9,3) = Jc^T Jpt per view; mutable points only.
+    W = jnp.einsum("pvri,pvrj->pvij", Jc, Jpt)          # (P,V,9,3)
+    W = W * problem.point_mut[:, None, None, None]
+    WHinv = jnp.einsum("pvij,pjk->pvik", W, Hpp_inv)     # (P,V,9,3)
+    # dof index map per view: rows 0-5 pose dofs, 6-8 intr dofs
+    dof_pose = 6 * cam[..., None] + jnp.arange(6)[None, None, :]       # (P,V,6)
+    dof_intr = 6 * C + 3 * model[..., None] + jnp.arange(3)[None, None, :]
+    dofs = jnp.concatenate([dof_pose, dof_intr], axis=-1)              # (P,V,9)
+
+    def subtract_pair(S, v1):
+        # contribution of view-slot v1 against all view slots v2 (scan body)
+        Yv = jnp.einsum("pik,pvjk->pvij", WHinv[:, v1], W)  # (P,V,9,9)
+        rows = dofs[:, v1, :]                               # (P,9)
+        S = S.at[rows[:, None, :, None], dofs[:, :, None, :]].add(-Yv)
+        return S, None
+
+    S, _ = jax.lax.scan(subtract_pair, S, jnp.arange(V))
+
+    # ---- rhs: -(g_cam - E Hpp_inv g_pt) ----
+    y = jnp.einsum("pij,pj->pi", Hpp_inv, g_pt)          # (P,3)
+    corr = jnp.einsum("pvij,pj->pvi", W, y)              # (P,V,9)
+    rhs = -g_cam + jax.ops.segment_sum(corr.reshape(-1), dofs.reshape(-1), D)
+
+    # ---- damping + mutability on camera system ----
+    diag = jnp.diagonal(S)
+    S = S.at[jnp.arange(D), jnp.arange(D)].add(lam * jnp.maximum(diag, 1e-12) + 1e-10)
+    free = jnp.concatenate([
+        jnp.repeat(problem.pose_mut, 6), jnp.repeat(problem.intr_mut, 3)])
+    S = S * free[:, None] * free[None, :]
+    S = S.at[jnp.arange(D), jnp.arange(D)].add(1.0 - free)
+    rhs = rhs * free
+
+    if cfg.jacobi_scale:
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+        Sn = S / d[:, None] / d[None, :]
+        L = jax.scipy.linalg.cho_factor(Sn, lower=True)
+        d_cam = jax.scipy.linalg.cho_solve(L, rhs / d) / d
+    else:
+        L = jax.scipy.linalg.cho_factor(S, lower=True)
+        d_cam = jax.scipy.linalg.cho_solve(L, rhs)
+
+    # ---- back-substitute points: d_pt = -Hpp_inv (g_pt + E^T d_cam) ----
+    dc_views = d_cam[dofs]                               # (P,V,9)
+    Et_dc = jnp.einsum("pvij,pvi->pj", W, dc_views)      # (P,3)
+    d_pt = -jnp.einsum("pij,pj->pi", Hpp_inv, g_pt + Et_dc)
+    d_pt = d_pt * problem.point_mut[:, None]
+
+    d_pose = d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None]
+    d_intr = d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None]
+    return d_pose, d_intr, d_pt
+
+
+def _apply_step(problem: BAProblem, d_pose, d_intr, d_pt):
+    return problem._replace(
+        poses=problem.poses + d_pose,
+        intrs=problem.intrs + d_intr,
+        points=problem.points + d_pt,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
+    """Run LM to convergence (jitted; fixed upper bound cfg.max_iterations).
+
+    Returns (problem, info dict) where info carries final cost, iterations
+    used, and final lambda.
+    """
+    cost0 = problem_cost(problem, cfg.huber_delta)
+
+    def cond(state):
+        it, _, _, _, done = state
+        return (it < cfg.max_iterations) & (~done)
+
+    def body(state):
+        it, prob, lam, cost, done = state
+        d_pose, d_intr, d_pt = _assemble_and_solve(prob, lam, cfg)
+        cand = _apply_step(prob, d_pose, d_intr, d_pt)
+        new_cost = problem_cost(cand, cfg.huber_delta)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        prob = jax.tree.map(lambda a, b: jnp.where(accept, b, a), prob, cand)
+        lam = jnp.where(accept,
+                        jnp.maximum(lam / cfg.lambda_down, cfg.min_lambda),
+                        jnp.minimum(lam * cfg.lambda_up, cfg.max_lambda))
+        rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done = accept & (rel < cfg.rtol)
+        cost = jnp.where(accept, new_cost, cost)
+        return it + 1, prob, lam, cost, done
+
+    lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
+    it, prob, lam, cost, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False)))
+    n_obs = problem.n_observations()
+    info = {"initial_cost": cost0, "final_cost": cost, "iterations": it,
+            "lambda": lam, "converged": done,
+            "rms_px": jnp.sqrt(2.0 * cost / jnp.maximum(n_obs, 1))}
+    return prob, info

@@ -1,0 +1,78 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is unavailable in CI; shardings are validated the JAX way
+via XLA_FLAGS=--xla_force_host_platform_device_count (SURVEY.md §4).
+"""
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the (single real)
+# TPU chip via the axon tunnel, and its sitecustomize imports jax before
+# pytest starts — so env vars alone are too late; use jax.config.update.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def make_scene(rng, n_cams=6, n_pts=200, focal=1000.0, noise_px=0.0,
+               k1=0.0, k2=0.0, spread=2.0, depth=8.0):
+    """Synthetic scene generator: cameras on an arc looking at a point cloud.
+
+    Returns dict of numpy arrays: poses (C,6) [aa,t], intrs (C,3) [f,k1,k2],
+    points (P,3), obs (C,P,2) centered pixels, vis (C,P) bool.
+    The recipe mirrors the reference's own synthetic-noise setup
+    (optimizer.cc:155-232 Normalize/Perturb).
+    """
+    from metricsfm_tpu.ops import lie, projection
+    import jax.numpy as jnp
+
+    pts = rng.uniform(-spread, spread, size=(n_pts, 3))
+    pts[:, 2] += depth
+
+    poses = []
+    intrs = []
+    for i in range(n_cams):
+        ang = (i - n_cams / 2) * 0.08
+        # camera orbiting around scene center, looking at it
+        c = np.array([np.sin(ang) * depth, 0.3 * np.sin(2 * ang), depth - np.cos(ang) * depth])
+        # look-at rotation: z towards scene center (0,0,depth)
+        target = np.array([0.0, 0.0, depth])
+        z = target - c
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], axis=0)  # world->cam rows
+        t = -R @ c
+        aa = np.asarray(lie.matrix_to_angle_axis(jnp.asarray(R)))
+        poses.append(np.concatenate([aa, t]))
+        intrs.append([focal, k1, k2])
+    poses = np.asarray(poses)
+    intrs = np.asarray(intrs, dtype=np.float64)
+
+    uv, z = jax.vmap(lambda p, i: projection.project(p, i, jnp.asarray(pts)))(
+        jnp.asarray(poses), jnp.asarray(intrs))
+    uv = np.asarray(uv)
+    z = np.asarray(z)
+    if noise_px > 0:
+        uv = uv + rng.normal(0, noise_px, size=uv.shape)
+    vis = z > 0
+    return {"poses": poses, "intrs": intrs, "points": pts, "obs": uv, "vis": vis}
+
+
+@pytest.fixture
+def scene(rng):
+    return make_scene(rng)
