@@ -1,0 +1,450 @@
+"""Incremental SfM driver.
+
+Re-design of the reference pipeline (SfM/src/sfm_incremental.cc):
+host-side orchestration of jitted batched kernels, mirroring the reference
+control flow stage by stage (SURVEY.md §3.2):
+
+  seed-pair ranking (sfm_incremental.cc:1790-1829)
+  -> seed reconstruction: relative pose + triangulation + full BA with
+     normalize/perturb (:224-415)
+  -> loop: next-image selection by 2D-3D correspondence count damped by
+     failure count (:417-563), PnP localization (:565-753), new-point
+     triangulation (:755-915), partial BA (:917-1014), full BA every 5
+     images (:180-183), reprojection outlier cull (:1831-1863)
+  -> multi-model outer loop until no seed remains (:99-220).
+
+Inputs are per-image feature sets + a sparse pairwise match table (from
+pipeline.match_graph or fed directly for tests); all device work is done in
+fixed bucketed shapes so jit caches persist across steps.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ba import LMConfig, solve_lm
+from ..ba import problem as ba_problem
+from ..ops import epipolar, pnp, projection, ransac, triangulation
+from .scene import CameraModel, Scene, bucket
+
+
+@dataclass
+class ImageFeatures:
+    """Per-image feature set (host mirror of the {i}_feature files)."""
+    xy: np.ndarray           # (K, 2) centered pixel coords
+    desc: Optional[np.ndarray]  # (K, D) or None when matches are precomputed
+    mask: np.ndarray         # (K,) valid keypoints
+    width: int = 0
+    height: int = 0
+    focal_exif: float = 0.0  # 0 = unknown
+
+    @property
+    def f_hint(self) -> float:
+        if self.focal_exif > 0:
+            return self.focal_exif
+        return 1.2 * max(self.width, self.height)
+
+
+@dataclass
+class PairMatches:
+    """Verified matches for one image pair (i < j)."""
+    kp_i: np.ndarray         # (N,) keypoint indices in image i
+    kp_j: np.ndarray         # (N,) keypoint indices in image j
+
+
+class IncrementalSfM:
+    """The reference IncrementalSfM::Run loop, TPU-kernel-backed."""
+
+    def __init__(self, features: Dict[int, ImageFeatures],
+                 matches: Dict[Tuple[int, int], PairMatches],
+                 config: PipelineConfig, seed: int = 0):
+        self.features = features
+        self.matches = {}
+        for (i, j), m in matches.items():
+            if i > j:
+                i, j, m = j, i, PairMatches(kp_i=m.kp_j, kp_j=m.kp_i)
+            self.matches[(i, j)] = m
+        self.cfg = config
+        self.key = jax.random.PRNGKey(seed)
+        self.scenes: List[Scene] = []
+        self._neighbors: Dict[int, List[int]] = {}
+        for (i, j) in self.matches:
+            self._neighbors.setdefault(i, []).append(j)
+            self._neighbors.setdefault(j, []).append(i)
+        self._lm_cfg = LMConfig(
+            max_iterations=self.cfg.ba.max_iterations,
+            huber_delta=self.cfg.ba.huber_delta,
+            init_lambda=self.cfg.ba.init_lambda,
+        )
+
+    # -- helpers -----------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _pair(self, i, j) -> Optional[PairMatches]:
+        if i <= j:
+            return self.matches.get((i, j))
+        m = self.matches.get((j, i))
+        if m is None:
+            return None
+        return PairMatches(kp_i=m.kp_j, kp_j=m.kp_i)
+
+    def _match_strength(self):
+        """Pair ranking log(sum_i) * log(sum_j) * log(n_match)
+        (ref SortImagePairs, sfm_incremental.cc:1790-1829)."""
+        row_sum: Dict[int, int] = {}
+        for (i, j), m in self.matches.items():
+            n = len(m.kp_i)
+            row_sum[i] = row_sum.get(i, 0) + n
+            row_sum[j] = row_sum.get(j, 0) + n
+        ranked = []
+        for (i, j), m in self.matches.items():
+            n = len(m.kp_i)
+            if n < 16:
+                continue
+            s = math.log(max(row_sum[i], 2)) * math.log(max(row_sum[j], 2)) \
+                * math.log(max(n, 2))
+            ranked.append((s, i, j))
+        ranked.sort(reverse=True)
+        return ranked
+
+    # -- seed --------------------------------------------------------------
+    def _try_seed(self, i, j, used: set) -> Optional[Scene]:
+        """Seed reconstruction from pair (i, j) (ref :224-415)."""
+        m = self._pair(i, j)
+        fi, fj = self.features[i], self.features[j]
+        p1 = jnp.asarray(fi.xy[m.kp_i], jnp.float32)
+        p2 = jnp.asarray(fj.xy[m.kp_j], jnp.float32)
+        n = p1.shape[0]
+        if n < max(16, self.cfg.sfm.th_seedpair_structures):
+            return None
+
+        calibrated = self.cfg.sfm.calibrated or (
+            fi.focal_exif > 0 and fj.focal_exif > 0)
+        if calibrated:
+            f1 = f2 = float(fi.focal_exif or fi.f_hint)
+            res = epipolar.relative_pose_known_focal(p1, p2, f1, f2)
+        else:
+            res = epipolar.relative_pose_unknown_focal(p1, p2)
+            if not bool(res["valid"]):
+                return None
+            f1, f2 = float(res["f1"]), float(res["f2"])
+            # reject absurd focal estimates (reference gates on downstream mse)
+            hint = 0.5 * (fi.f_hint + fj.f_hint)
+            if not (0.2 * hint < f1 < 5.0 * hint and 0.2 * hint < f2 < 5.0 * hint):
+                return None
+
+        scene = Scene(len(self.features), self.cfg.sfm.idx_max_per_image)
+        shared = self.cfg.sfm.use_same_camera
+        mi0 = scene.add_camera_model(CameraModel(
+            f=f1, f_hint=fi.f_hint, calibrated=calibrated))
+        mi1 = mi0 if shared else scene.add_camera_model(CameraModel(
+            f=f2, f_hint=fj.f_hint, calibrated=calibrated))
+        pose_i = np.zeros(6)
+        R, t = np.asarray(res["R"]), np.asarray(res["t"])
+        pose_j = np.asarray(projection.pose_from_Rt(jnp.asarray(R), jnp.asarray(t)))
+        scene.register_image(i, pose_i, mi0, len(fi.xy))
+        scene.register_image(j, pose_j, mi1, len(fj.xy))
+
+        # triangulate all matches (two-view), gate, install tracks
+        poses = jnp.asarray(np.stack([pose_i, pose_j]), jnp.float32)
+        intrs = jnp.asarray(np.array([[f1, 0, 0], [f2, 0, 0]]), jnp.float32)
+        P = n
+        tp = jnp.broadcast_to(poses, (P, 2, 6))
+        ti = jnp.broadcast_to(intrs, (P, 2, 3))
+        to = jnp.stack([p1, p2], axis=1)
+        tm = jnp.ones((P, 2), jnp.float32)
+        xyz, ok, mse = triangulation.triangulate_tracks(
+            tp, ti, to, tm, self.cfg.sfm.th_mse_reprojection,
+            self.cfg.sfm.th_angle_small, "midpoint")
+        ok = np.asarray(ok)
+        xyz = np.asarray(xyz)
+        n_ok = int(ok.sum())
+        if n_ok < self.cfg.sfm.th_seedpair_structures or n_ok < n // 5:
+            return None
+        for a in np.where(ok)[0]:
+            scene.add_track(xyz[a], {i: int(m.kp_i[a]), j: int(m.kp_j[a])})
+
+        # seed full BA with normalize + perturb (ref optimizer.cc:50-60)
+        self._bundle(scene, full=True, seed_run=True)
+        self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
+        if scene.n_points() < self.cfg.sfm.th_seedpair_structures:
+            return None
+        return scene
+
+    # -- localization ------------------------------------------------------
+    def _gather_2d3d(self, scene: Scene, img: int):
+        """Harvest 2D-3D correspondences for an unregistered image via its
+        matched neighbours (ref FindImageToLocalize, :417-563)."""
+        kp_list, track_list = [], []
+        for nb in self._neighbors.get(img, []):
+            if nb not in scene.poses:
+                continue
+            m = self._pair(img, nb)
+            if m is None:
+                continue
+            k2t = scene.kp_to_track[nb]
+            tid = k2t[m.kp_j]
+            live = tid >= 0
+            kp_list.append(m.kp_i[live])
+            track_list.append(tid[live])
+        if not kp_list:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        kp = np.concatenate(kp_list)
+        tr = np.concatenate(track_list)
+        # dedupe per keypoint (a kp may map to one track via several pairs)
+        _, first = np.unique(kp, return_index=True)
+        return kp[first], tr[first]
+
+    def _select_next_image(self, scene: Scene, remaining: set):
+        best, best_score, best_corr = None, 0.0, None
+        for img in remaining:
+            kp, tr = self._gather_2d3d(scene, img)
+            if len(kp) < self.cfg.sfm.min_2d3d_correspondences:
+                continue
+            fails = scene.localization_failures.get(img, 0)
+            if fails >= self.cfg.sfm.th_max_failure_localization:
+                continue
+            score = len(kp) / (5.0 + fails)
+            if score > best_score:
+                best, best_score, best_corr = img, score, (kp, tr)
+        return best, best_corr
+
+    def _localize(self, scene: Scene, img: int, corr) -> bool:
+        """PnP localization of one image (ref LocalizeImage, :565-753)."""
+        kp, tr = corr
+        feat = self.features[img]
+        Xw = np.stack([scene.tracks[t].xyz for t in tr])
+        obs = feat.xy[kp]
+        N = bucket(len(kp), 64)
+        pad = N - len(kp)
+        Xw_p = np.pad(Xw, ((0, pad), (0, 0)))
+        obs_p = np.pad(obs, ((0, pad), (0, 0)))
+        mask = np.zeros(N, bool)
+        mask[:len(kp)] = True
+
+        calibrated = self.cfg.sfm.calibrated or feat.focal_exif > 0
+        shared = self.cfg.sfm.use_same_camera
+        if shared and scene.models:
+            f_known = scene.models[0].f
+            res = pnp.pnp_ransac(
+                jnp.asarray(Xw_p, jnp.float32), jnp.asarray(obs_p, jnp.float32),
+                f_known, self._next_key(), mask=jnp.asarray(mask),
+                num_hypotheses=self.cfg.sfm.ransac_pnp_iters,
+                th_inlier_px=self.cfg.sfm.th_inlier_pnp_px)
+            f_est = f_known
+        elif calibrated:
+            f_est = feat.focal_exif or feat.f_hint
+            res = pnp.pnp_ransac(
+                jnp.asarray(Xw_p, jnp.float32), jnp.asarray(obs_p, jnp.float32),
+                float(f_est), self._next_key(), mask=jnp.asarray(mask),
+                num_hypotheses=self.cfg.sfm.ransac_pnp_iters,
+                th_inlier_px=self.cfg.sfm.th_inlier_pnp_px)
+        else:
+            res = pnp.pnp_ransac_unknown_focal(
+                jnp.asarray(Xw_p, jnp.float32), jnp.asarray(obs_p, jnp.float32),
+                float(feat.f_hint), self._next_key(), mask=jnp.asarray(mask),
+                num_hypotheses=max(self.cfg.sfm.ransac_pnp_iters // 4, 32),
+                num_focal_samples=64,
+                th_inlier_px=self.cfg.sfm.th_inlier_pnp_px)
+            f_est = float(res["f"])
+
+        n_inl = int(res["n_inliers"])
+        avg = float(res["avg_err"])
+        if n_inl < self.cfg.sfm.min_2d3d_correspondences or \
+                avg > self.cfg.sfm.th_mse_localization:
+            scene.localization_failures[img] = \
+                scene.localization_failures.get(img, 0) + 1
+            return False
+
+        pose = np.asarray(projection.pose_from_Rt(
+            jnp.asarray(res["R"]), jnp.asarray(res["t"])))
+        if shared:
+            mi = 0
+        else:
+            mi = scene.add_camera_model(CameraModel(
+                f=float(f_est), f_hint=feat.f_hint, calibrated=calibrated))
+        scene.register_image(img, pose, mi, len(feat.xy))
+        # attach inlier observations to their tracks
+        inl = np.asarray(res["inlier_mask"])[:len(kp)]
+        for a in np.where(inl)[0]:
+            scene.add_observation(int(tr[a]), img, int(kp[a]))
+        return True
+
+    # -- new points --------------------------------------------------------
+    def _triangulate_new(self, scene: Scene, img: int):
+        """New tracks between img and registered neighbours
+        (ref GenerateNew3DPoints, :755-915)."""
+        feat = self.features[img]
+        cand: Dict[int, Dict[int, int]] = {}
+        for nb in self._neighbors.get(img, []):
+            if nb not in scene.poses:
+                continue
+            m = self._pair(img, nb)
+            if m is None:
+                continue
+            k2t_img = scene.kp_to_track[img]
+            k2t_nb = scene.kp_to_track[nb]
+            for a in range(len(m.kp_i)):
+                ki, kj = int(m.kp_i[a]), int(m.kp_j[a])
+                ti_, tj_ = k2t_img[ki], k2t_nb[kj]
+                if ti_ >= 0 and tj_ < 0:
+                    scene.add_observation(int(ti_), nb, kj)
+                    continue
+                if ti_ >= 0 or tj_ >= 0:
+                    continue
+                cand.setdefault(ki, {})[nb] = kj
+        if not cand:
+            return 0
+        # fixed-shape triangulation batch
+        items = list(cand.items())[:self.cfg.sfm.max_new_points_per_step]
+        V = 8
+        P = bucket(len(items), 64)
+        poses = np.zeros((P, V, 6))
+        intrs = np.zeros((P, V, 3))
+        obs = np.zeros((P, V, 2))
+        mask = np.zeros((P, V))
+        for r, (ki, views) in enumerate(items):
+            poses[r, 0] = scene.poses[img]
+            intrs[r, 0] = scene.models[scene.model_of_image[img]].as_array()
+            obs[r, 0] = feat.xy[ki]
+            mask[r, 0] = 1.0
+            v = 1
+            for nb, kj in views.items():
+                if v >= V:
+                    break
+                poses[r, v] = scene.poses[nb]
+                intrs[r, v] = scene.models[scene.model_of_image[nb]].as_array()
+                obs[r, v] = self.features[nb].xy[kj]
+                mask[r, v] = 1.0
+                v += 1
+        th_angle = self.cfg.sfm.th_angle_small if len(items) <= 500 \
+            else self.cfg.sfm.th_angle_large
+        xyz, ok, mse = triangulation.triangulate_tracks(
+            jnp.asarray(poses, jnp.float32), jnp.asarray(intrs, jnp.float32),
+            jnp.asarray(obs, jnp.float32), jnp.asarray(mask, jnp.float32),
+            self.cfg.sfm.th_mse_reprojection, th_angle, "midpoint")
+        ok = np.asarray(ok)
+        xyz = np.asarray(xyz)
+        added = 0
+        for r, (ki, views) in enumerate(items):
+            if not ok[r]:
+                continue
+            track_obs = {img: ki}
+            track_obs.update({nb: kj for nb, kj in views.items()})
+            scene.add_track(xyz[r], track_obs)
+            added += 1
+        return added
+
+    # -- BA + culling ------------------------------------------------------
+    def _bundle(self, scene: Scene, full: bool, seed_run: bool = False,
+                around_img: Optional[int] = None):
+        """Partial/full bundle adjustment (ref :917-1026, optimizer.cc).
+
+        Partial BA: cameras sharing around_img's camera model + cameras
+        seeing its visible tracks are mutable, the rest frozen; track weight
+        2.0 for >=3-view tracks.  Full BA: everything mutable, gauge fixed
+        at the first registered camera.
+        """
+        kp_xy = {im: self.features[im].xy for im in scene.registered}
+        if full:
+            mutable = list(scene.registered)
+            weight = 1.0
+        else:
+            vis = set()
+            if around_img is not None and around_img in scene.kp_to_track:
+                for t in scene.kp_to_track[around_img]:
+                    if t >= 0:
+                        vis.update(scene.tracks[t].obs.keys())
+            vis.add(around_img)
+            mutable = [im for im in scene.registered if im in vis]
+            weight = self.cfg.sfm.weight_multiview
+        gauge = scene.registered[0]
+        mutable = [im for im in mutable if im != gauge]
+
+        prob, maps = scene.to_ba_problem(
+            kp_xy, max_views=16, mutable_images=mutable,
+            weight_multiview=weight)
+        if seed_run:
+            prob, tf = ba_problem.normalize_problem(
+                prob, self.cfg.ba.normalize_scale)
+            prob = ba_problem.perturb_problem(
+                prob, self._next_key(), self.cfg.ba.perturb_sigma_rot,
+                self.cfg.ba.perturb_sigma_t, self.cfg.ba.perturb_sigma_pt)
+        lm_cfg = self._lm_cfg if full else self._lm_cfg._replace(max_iterations=30)
+        prob, info = solve_lm(prob, lm_cfg)
+        if seed_run:
+            prob = ba_problem.denormalize_problem(prob, tf)
+        scene.update_from_ba(prob, maps)
+        return info
+
+    def _cull_outliers(self, scene: Scene, th_px: float):
+        """Mark tracks with sqrt(mse) > th as bad (ref RemovePointOutliers,
+        :1831-1863)."""
+        kp_xy = {im: self.features[im].xy for im in scene.registered}
+        prob, maps = scene.to_ba_problem(kp_xy, max_views=16)
+        from ..ba.lm import compute_residuals
+        r = np.asarray(compute_residuals(prob))
+        err2 = (r ** 2).sum(-1)
+        msk = np.asarray(prob.track_mask)
+        mse = (err2 * msk).sum(1) / np.maximum(msk.sum(1), 1)
+        bad_rows = np.where(np.sqrt(mse) > th_px)[0]
+        removed = 0
+        for row in bad_rows:
+            if row < len(maps["tracks"]):
+                scene.mark_bad(maps["tracks"][row])
+                removed += 1
+        return removed
+
+    # -- main loop ---------------------------------------------------------
+    def run(self, max_models: int = 8, verbose: bool = False):
+        """Reconstruct one or more models (ref Run, :81-220)."""
+        remaining = set(self.features.keys())
+        ranked = self._match_strength()
+        for _ in range(max_models):
+            scene = None
+            for s, i, j in ranked:
+                if i in remaining and j in remaining:
+                    scene = self._try_seed(i, j, remaining)
+                    if scene is not None:
+                        break
+            if scene is None:
+                break
+            remaining -= set(scene.registered)
+            for img in scene.registered:
+                scene.localization_failures.pop(img, None)
+
+            step = 0
+            while True:
+                img, corr = self._select_next_image(scene, remaining)
+                if img is None:
+                    break
+                if not self._localize(scene, img, corr):
+                    if verbose:
+                        print(f"localize fail img={img}")
+                    continue
+                remaining.discard(img)
+                n_new = self._triangulate_new(scene, img)
+                self._bundle(scene, full=False, around_img=img)
+                step += 1
+                if step % self.cfg.sfm.th_step_full_bundle_adjustment == 0:
+                    self._bundle(scene, full=True)
+                self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
+                if verbose:
+                    print(f"+img {img}: {n_new} new pts, "
+                          f"{scene.n_points()} total, {len(remaining)} left")
+            # final full BA + cull
+            if len(scene.registered) > 2:
+                self._bundle(scene, full=True)
+                self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
+            self.scenes.append(scene)
+            if len(remaining) < 2:
+                break
+        return self.scenes

@@ -1,0 +1,223 @@
+"""Host-side scene state for incremental reconstruction.
+
+Re-design of the reference's pointer-graph data model
+(SfM/src/camera.{h,cc}, structure.{h,cc}, sfm_incremental.h:31-108):
+
+* The reference tracks observations as ``map<globalKpId, Camera*>`` per
+  Point3D and ``pts_`` maps per Camera; here the scene keeps flat numpy
+  arrays + per-image keypoint->point index maps, and *materializes* fixed
+  shape masked track tensors (BAProblem) on demand for the device.
+* Global keypoint ids follow the reference scheme
+  ``img_idx * idx_max_per_image + kp_idx`` (basic_structs.h:169-171).
+* The incremental loop itself stays host-side (SURVEY.md §7 hard part #4);
+  every numeric step (matching, RANSAC, triangulation, BA) is a jitted
+  batched kernel.  Shapes sent to the device are bucketed (next power of
+  two) so jit caches stay warm across incremental steps.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..ba import problem as ba_problem
+
+
+def bucket(n: int, minimum: int = 16) -> int:
+    """Next power-of-two bucket >= n (static-shape cache friendliness)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class CameraModel:
+    """Intrinsics block [f, k1, k2] (ref CameraModel::data, basic_structs.h:120)."""
+    f: float
+    k1: float = 0.0
+    k2: float = 0.0
+    f_hint: float = 0.0          # prior focal (EXIF or 1.2*max(w,h), ref camera.h)
+    calibrated: bool = False     # if True, intrinsics frozen in BA
+
+    def as_array(self):
+        return np.array([self.f, self.k1, self.k2], np.float64)
+
+
+@dataclass
+class Track:
+    """One 3D point's observations: img_idx -> kp_idx."""
+    xyz: np.ndarray
+    obs: Dict[int, int] = field(default_factory=dict)
+    is_bad: bool = False
+    is_new: bool = True
+
+
+class Scene:
+    """Mutable reconstruction state for one model (one pass of the outer loop)."""
+
+    def __init__(self, n_images: int, idx_max_per_image: int = 1_000_000):
+        self.n_images = n_images
+        self.idx_max = idx_max_per_image
+        # per-image registration state
+        self.poses: Dict[int, np.ndarray] = {}          # img -> (6,)
+        self.model_of_image: Dict[int, int] = {}        # img -> model idx
+        self.models: List[CameraModel] = []
+        self.tracks: List[Track] = []
+        # per-image kp -> track index (-1 = unassigned), filled lazily
+        self.kp_to_track: Dict[int, np.ndarray] = {}
+        self.localization_failures: Dict[int, int] = {}
+
+    # -- registration ------------------------------------------------------
+    def add_camera_model(self, model: CameraModel) -> int:
+        self.models.append(model)
+        return len(self.models) - 1
+
+    def register_image(self, img: int, pose: np.ndarray, model_idx: int,
+                       n_kps: int):
+        self.poses[img] = np.asarray(pose, np.float64)
+        self.model_of_image[img] = model_idx
+        if img not in self.kp_to_track:
+            self.kp_to_track[img] = np.full(n_kps, -1, np.int64)
+
+    @property
+    def registered(self) -> List[int]:
+        return sorted(self.poses.keys())
+
+    def n_points(self) -> int:
+        return sum(1 for t in self.tracks if not t.is_bad)
+
+    # -- tracks ------------------------------------------------------------
+    def add_track(self, xyz, obs: Dict[int, int]) -> int:
+        t = Track(xyz=np.asarray(xyz, np.float64), obs=dict(obs))
+        idx = len(self.tracks)
+        self.tracks.append(t)
+        for img, kp in obs.items():
+            self.kp_to_track[img][kp] = idx
+        return idx
+
+    def add_observation(self, track_idx: int, img: int, kp: int):
+        self.tracks[track_idx].obs[img] = kp
+        self.kp_to_track[img][kp] = track_idx
+
+    def mark_bad(self, track_idx: int):
+        t = self.tracks[track_idx]
+        t.is_bad = True
+        for img, kp in t.obs.items():
+            if self.kp_to_track[img][kp] == track_idx:
+                self.kp_to_track[img][kp] = -1
+
+    # -- 2D-3D correspondence harvest (ref sfm_incremental.cc:417-563) -----
+    def correspondences_for_image(self, img: int, match_idx2, match_mask,
+                                  other_img: int):
+        """Given matches kp(img) -> kp(other_img), map to existing tracks.
+
+        Returns (kp_idx, track_idx) arrays for matches whose other-image
+        keypoint belongs to a live track.
+        """
+        if other_img not in self.kp_to_track:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        k2t = self.kp_to_track[other_img]
+        sel = np.where(match_mask)[0]
+        tgt = match_idx2[sel]
+        tid = k2t[tgt]
+        live = tid >= 0
+        return sel[live], tid[live]
+
+    # -- BAProblem materialization ----------------------------------------
+    def to_ba_problem(self, kp_xy: Dict[int, np.ndarray], max_views: int = 16,
+                      mutable_images=None, mutable_points=None,
+                      weight_multiview: float = 1.0, dtype=np.float32):
+        """Build a fixed-shape BAProblem from the live tracks.
+
+        Args:
+          kp_xy: img -> (K, 2) centered keypoint coords.
+          max_views: V cap; tracks keep their first V observations.
+          mutable_images: iterable of image ids free to move (None = all,
+            except gauge handling is the caller's job).
+          mutable_points: None = all live points mutable.
+          weight_multiview: weight for >=3-view tracks (ref :1012, 2.0 in
+            partial BA).
+        Returns (problem, index_maps) where index_maps maps problem rows back
+        to scene track indices and camera image ids.
+        """
+        imgs = self.registered
+        img_to_row = {im: i for i, im in enumerate(imgs)}
+        C = len(imgs)
+        live = [i for i, t in enumerate(self.tracks) if not t.is_bad]
+        P = bucket(max(len(live), 1))
+        V = max_views
+
+        poses = np.stack([self.poses[im] for im in imgs])
+        model_rows: Dict[int, int] = {}
+        intrs_list = []
+        cam_model = np.zeros(C, np.int32)
+        for i, im in enumerate(imgs):
+            mi = self.model_of_image[im]
+            if mi not in model_rows:
+                model_rows[mi] = len(intrs_list)
+                intrs_list.append(self.models[mi].as_array())
+            cam_model[i] = model_rows[mi]
+        intrs = np.stack(intrs_list)
+        M = len(intrs_list)
+
+        points = np.zeros((P, 3))
+        track_cam = np.zeros((P, V), np.int32)
+        track_uv = np.zeros((P, V, 2))
+        track_mask = np.zeros((P, V), bool)
+        track_weight = np.ones((P,))
+        point_mut = np.zeros((P,))
+
+        mutable_img_set = set(imgs) if mutable_images is None else set(mutable_images)
+        for row, ti in enumerate(live):
+            t = self.tracks[ti]
+            points[row] = t.xyz
+            n_obs = 0
+            for im, kp in t.obs.items():
+                if im not in img_to_row or n_obs >= V:
+                    continue
+                track_cam[row, n_obs] = img_to_row[im]
+                track_uv[row, n_obs] = kp_xy[im][kp]
+                track_mask[row, n_obs] = True
+                n_obs += 1
+            if n_obs >= 3:
+                track_weight[row] = weight_multiview
+            point_mut[row] = 1.0
+        if mutable_points is not None:
+            mset = set(mutable_points)
+            for row, ti in enumerate(live):
+                if ti not in mset:
+                    point_mut[row] = 0.0
+
+        pose_mut = np.array([1.0 if im in mutable_img_set else 0.0 for im in imgs])
+        intr_mut = np.zeros(M)
+        for mi, rowm in model_rows.items():
+            intr_mut[rowm] = 0.0 if self.models[mi].calibrated else 1.0
+        # intrinsics of frozen cameras stay frozen too (partial BA semantics
+        # handled by caller passing mutable_images per camera-model)
+
+        prob = ba_problem.build_problem(
+            poses.astype(dtype), intrs.astype(dtype), cam_model,
+            points.astype(dtype), track_cam, track_uv.astype(dtype),
+            track_mask, track_weight.astype(dtype), pose_mut.astype(dtype),
+            intr_mut.astype(dtype), point_mut.astype(dtype), dtype=dtype)
+        index_maps = {"images": imgs, "tracks": live,
+                      "model_rows": model_rows}
+        return prob, index_maps
+
+    def update_from_ba(self, prob, index_maps):
+        """Write optimized parameters back into the scene (ref UpdateParameters,
+        optimizer.cc:142-153)."""
+        poses = np.asarray(prob.poses, np.float64)
+        intrs = np.asarray(prob.intrs, np.float64)
+        points = np.asarray(prob.points, np.float64)
+        for i, im in enumerate(index_maps["images"]):
+            self.poses[im] = poses[i]
+        for mi, rowm in index_maps["model_rows"].items():
+            self.models[mi].f = float(intrs[rowm, 0])
+            self.models[mi].k1 = float(intrs[rowm, 1])
+            self.models[mi].k2 = float(intrs[rowm, 2])
+        for row, ti in enumerate(index_maps["tracks"]):
+            self.tracks[ti].xyz = points[row]

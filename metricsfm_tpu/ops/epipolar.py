@@ -138,30 +138,64 @@ def epipolar_distance(F, pts1, pts2):
     return 0.5 * (d1 + d2)
 
 
-def focals_from_fundamental(F):
-    """Bougnoux closed-form focal lengths from F with centered principal points.
+def focals_from_fundamental(F, scale_hint: float = 1000.0):
+    """Focal lengths from F via the linear Kruppa equations (centered pp).
 
-    Replaces relative_pose_from_fundamental_matrix.cc:56-123.  Returns
-    (f1, f2, valid): valid is False when either squared focal is negative
-    (degenerate geometry), in which case callers should reject the pair.
+    Replaces the reference's epipole-rotation construction
+    (relative_pose_from_fundamental_matrix.cc:56-123).  With principal
+    points at the origin, the Kruppa constraint
+        F w1* F^T = lam * [e2]x w2* [e2]x^T,   wi* = diag(fi^2, fi^2, 1)
+    is *linear* in (f1^2, lam*f2^2, lam): a 6x3 least-squares solve over the
+    symmetric upper triangle.  Exact on noise-free data; degenerate when the
+    optical axes are coplanar (cameras fixating a common point), in which
+    case `valid` is usually still True but focals are unreliable — callers
+    gate on downstream reprojection error as the reference does.
+
+    Returns (f1, f2, valid): valid is False when a squared focal comes out
+    non-positive.
+
+    `scale_hint` (~expected focal in px) rescales pixels so the unknowns are
+    O(1) — without it the f32 normal equations span ~12 orders of magnitude
+    and the solve is garbage on TPU dtypes.
     """
+    # work in scaled pixel units: x' = diag(1/s,1/s,1) x  =>  F' = D F D, D=diag(s,s,1)
+    s = jnp.asarray(scale_hint, F.dtype)
+    D = jnp.stack([s, s, jnp.ones_like(s)])
+    F = F * D[..., :, None] * D[..., None, :]
+    F = F / jnp.maximum(jnp.linalg.norm(F, axis=(-2, -1), keepdims=True), _EPS)
+
     p = jnp.array([0.0, 0.0, 1.0], dtype=F.dtype)
     I2 = jnp.diag(jnp.array([1.0, 1.0, 0.0], dtype=F.dtype))
+    Ft = jnp.swapaxes(F, -1, -2)
+    # epipole in image 2: F^T e2 = 0
+    e2 = _smallest_right_singular(Ft[None] if F.ndim == 2 else Ft)
+    if F.ndim == 2:
+        e2 = e2[0]
+    e2x = lie.hat(e2)
+    e2xt = jnp.swapaxes(e2x, -1, -2)
 
-    def f2_sq(F_):
-        # epipole e2: F_^T e2 = 0
-        e2 = _smallest_right_singular(jnp.swapaxes(F_, -1, -2)[None])[0]
-        e2x = lie.hat(e2)
-        num = -(p @ e2x @ I2 @ F_ @ p) * (p @ jnp.swapaxes(F_, -1, -2) @ p)
-        den = p @ e2x @ I2 @ F_ @ I2 @ jnp.swapaxes(F_, -1, -2) @ p
-        return num / jnp.where(jnp.abs(den) < _EPS, _EPS, den)
+    M1 = F @ I2 @ Ft
+    M2 = e2x @ I2 @ e2xt
+    v2 = jnp.einsum("...ij,j->...i", e2x, p)
+    M3 = v2[..., :, None] * v2[..., None, :]
+    v0 = jnp.einsum("...ij,j->...i", F, p)
+    M0 = v0[..., :, None] * v0[..., None, :]
 
-    # f2 from F, f1 from F^T (swap images)
-    f2s = f2_sq(F)
-    f1s = f2_sq(jnp.swapaxes(F, -1, -2))
+    iu = jnp.triu_indices(3)
+    A = jnp.stack([M1[..., iu[0], iu[1]], -M2[..., iu[0], iu[1]],
+                   -M3[..., iu[0], iu[1]]], axis=-1)      # (..., 6, 3)
+    b = -M0[..., iu[0], iu[1]]                            # (..., 6)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    Atb = jnp.einsum("...ki,...k->...i", A, b)
+    eye3 = jnp.eye(3, dtype=F.dtype)
+    x = jnp.linalg.solve(AtA + 1e-12 * eye3, Atb)
+    f1s = x[..., 0]
+    lam = x[..., 2]
+    lam = jnp.where(jnp.abs(lam) < _EPS, _EPS, lam)
+    f2s = x[..., 1] / lam
     valid = (f1s > 0) & (f2s > 0)
-    f1 = jnp.sqrt(jnp.maximum(f1s, _EPS))
-    f2 = jnp.sqrt(jnp.maximum(f2s, _EPS))
+    f1 = jnp.sqrt(jnp.maximum(f1s, _EPS)) * s
+    f2 = jnp.sqrt(jnp.maximum(f2s, _EPS)) * s
     return f1, f2, valid
 
 
@@ -250,14 +284,19 @@ def relative_pose_known_focal(pts1, pts2, f1, f2, weights=None, mask=None):
     return {"R": R, "t": t, "E": E, "n_front": votes}
 
 
-def relative_pose_unknown_focal(pts1, pts2, weights=None, mask=None):
-    """Uncalibrated path: 8pt-F -> Bougnoux focals -> E -> decompose.
+def relative_pose_unknown_focal(pts1, pts2, weights=None, mask=None,
+                                f_hint=None):
+    """Uncalibrated path: 8pt-F -> Kruppa focals -> E -> decompose.
 
-    Reference relative_pose_estimation.cc:29-83.
+    Reference relative_pose_estimation.cc:29-83.  `f_hint` scales the focal
+    solve for conditioning; defaults to 3x the pixel spread (~image size,
+    the same spirit as the reference's f_hyp = 1.2*max(w,h)).
     Returns dict with R, t, f1, f2, F, valid.
     """
     F = fundamental_8pt(pts1, pts2, weights)
-    f1, f2, valid = focals_from_fundamental(F)
+    if f_hint is None:
+        f_hint = 3.0 * jnp.maximum(jnp.max(jnp.abs(pts1)), jnp.max(jnp.abs(pts2)))
+    f1, f2, valid = focals_from_fundamental(F, f_hint)
     n1 = pts1 / f1
     n2 = pts2 / f2
     E = essential_from_fundamental(F, f1, f2)

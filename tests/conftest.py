@@ -46,10 +46,11 @@ def make_scene(rng, n_cams=6, n_pts=200, focal=1000.0, noise_px=0.0,
     intrs = []
     for i in range(n_cams):
         ang = (i - n_cams / 2) * 0.08
-        # camera orbiting around scene center, looking at it
+        # camera orbiting around scene center, looking roughly at it; the
+        # per-camera target jitter keeps optical axes skew (cameras that
+        # fixate one common point are a degenerate config for focal-from-F)
         c = np.array([np.sin(ang) * depth, 0.3 * np.sin(2 * ang), depth - np.cos(ang) * depth])
-        # look-at rotation: z towards scene center (0,0,depth)
-        target = np.array([0.0, 0.0, depth])
+        target = np.array([0.0, 0.0, depth]) + rng.normal(0, 0.4, size=3)
         z = target - c
         z = z / np.linalg.norm(z)
         x = np.cross(np.array([0.0, 1.0, 0.0]), z)

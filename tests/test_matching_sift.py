@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metricsfm_tpu.ops import matching, sift
+
+
+def unit_rows(rng, n, d=128):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_knn2_exact(rng):
+    d1 = unit_rows(rng, 100)
+    d2 = unit_rows(rng, 333)
+    d1sq, d2sq, idx = matching.knn2(jnp.asarray(d1), jnp.asarray(d2),
+                                    chunk=128, use_bf16=False)
+    # brute force numpy
+    dist = ((d1[:, None] - d2[None]) ** 2).sum(-1)
+    order = np.argsort(dist, axis=1)
+    np.testing.assert_array_equal(np.asarray(idx), order[:, 0])
+    np.testing.assert_allclose(np.asarray(d1sq), dist[np.arange(100), order[:, 0]], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2sq), dist[np.arange(100), order[:, 1]], atol=1e-4)
+
+
+def test_knn2_masked(rng):
+    d1 = unit_rows(rng, 50)
+    d2 = np.concatenate([unit_rows(rng, 60), d1[:10]])  # best matches at end
+    mask2 = np.ones(70, bool)
+    mask2[60:] = False  # exclude the exact matches
+    _, _, idx = matching.knn2(jnp.asarray(d1), jnp.asarray(d2),
+                              jnp.asarray(mask2), chunk=32, use_bf16=False)
+    assert np.asarray(idx).max() < 60
+
+
+def test_match_pair_ratio(rng):
+    base = unit_rows(rng, 200)
+    noise = rng.normal(size=base.shape).astype(np.float32) * 0.02
+    d2 = base + noise
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    perm = rng.permutation(200)
+    res = matching.match_pair(jnp.asarray(base), jnp.asarray(d2[perm]))
+    idx2 = np.asarray(res["idx2"])
+    good = np.asarray(res["good"])
+    inv = np.argsort(perm)
+    assert good.sum() > 150
+    assert (idx2[good] == inv[good]).mean() > 0.99
+
+
+def test_match_bf16_agrees(rng):
+    d1 = unit_rows(rng, 128)
+    d2 = unit_rows(rng, 256)
+    _, _, i_f32 = matching.knn2(jnp.asarray(d1), jnp.asarray(d2), use_bf16=False)
+    _, _, i_bf16 = matching.knn2(jnp.asarray(d1), jnp.asarray(d2), use_bf16=True)
+    # bf16 ranking can differ on near-ties only
+    assert (np.asarray(i_f32) == np.asarray(i_bf16)).mean() > 0.95
+
+
+def checkerboard_image(rng, H=128, W=128, n_blobs=30):
+    img = np.zeros((H, W), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for _ in range(n_blobs):
+        cy, cx = rng.uniform(16, H - 16), rng.uniform(16, W - 16)
+        s = rng.uniform(1.5, 4.0)
+        a = rng.uniform(0.3, 1.0) * rng.choice([-1, 1])
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img -= img.min()
+    img /= img.max()
+    return img
+
+
+def test_sift_detects_blobs(rng):
+    img = checkerboard_image(rng)
+    cfg = sift.SiftConfig(n_octaves=3, max_keypoints=256)
+    out = sift.extract(jnp.asarray(img), cfg)
+    n = int(np.asarray(out["mask"]).sum())
+    assert n > 10
+    # descriptors normalized
+    d = np.asarray(out["desc"])[np.asarray(out["mask"])]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-3)
+
+
+def test_sift_translation_matching(rng):
+    img = checkerboard_image(rng, H=160, W=160)
+    shift = 7
+    img2 = np.roll(img, (shift, shift), axis=(0, 1))
+    cfg = sift.SiftConfig(n_octaves=3, max_keypoints=256)
+    o1 = sift.extract(jnp.asarray(img), cfg)
+    o2 = sift.extract(jnp.asarray(img2), cfg)
+    res = matching.match_pair(o1["desc"], o2["desc"], o1["mask"], o2["mask"],
+                              ratio_good=0.7, ratio_all=0.9)
+    good = np.asarray(res["good"])
+    assert good.sum() >= 10
+    xy1 = np.asarray(o1["xy"])[good]
+    xy2 = np.asarray(o2["xy"])[np.asarray(res["idx2"])[good]]
+    d = xy2 - xy1
+    # majority of matches should see the (shift, shift) translation
+    err = np.linalg.norm(d - np.array([shift, shift]), axis=1)
+    assert np.median(err) < 2.0
