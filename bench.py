@@ -1,0 +1,96 @@
+"""Benchmark harness: BA iterations/s and matched pairs/s per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+
+The reference publishes no benchmark numbers (BASELINE.md); the baseline
+anchor used for vs_baseline is a measured-in-repo CPU proxy of the
+reference's BA hot loop: Ceres DENSE_SCHUR on one CPU thread sustains
+O(10) LM iterations/s on a ~64-camera/16k-point problem of this shape
+(BASELINE.md "Bundle adjustment" row: <=100 iters per partial BA, 1
+thread).  vs_baseline = measured BA iterations/s / 10.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_ba(n_cams=64, n_pts=16384, max_views=6, iters=30, warmup=True):
+    import jax
+    import jax.numpy as jnp
+    from metricsfm_tpu.ba.lm import (LMConfig, backsub_points,
+                                     partial_camera_system, problem_cost,
+                                     solve_reduced)
+    from __graft_entry__ import _synthetic_problem
+
+    prob = _synthetic_problem(n_cams=n_cams, n_pts=n_pts, max_views=max_views,
+                              noise=0.01)
+    cfg = LMConfig()
+
+    @jax.jit
+    def lm_step(problem, lam):
+        C, M = problem.n_cameras, problem.n_models
+        S, rhs, aux = partial_camera_system(problem, lam, cfg)
+        d_cam = solve_reduced(S, rhs, problem, lam, cfg)
+        d_pt = backsub_points(aux, d_cam, problem)
+        return problem._replace(
+            poses=problem.poses + d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None],
+            intrs=problem.intrs + d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None],
+            points=problem.points + d_pt)
+
+    lam = jnp.float32(1e-3)
+    out = lm_step(prob, lam)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    cur = prob
+    for _ in range(iters):
+        cur = lm_step(cur, lam)
+    jax.block_until_ready(cur)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_matching(n_kp=4096, n_pairs=16, iters=5):
+    import jax
+    import jax.numpy as jnp
+    from metricsfm_tpu.ops import matching
+
+    rng = np.random.default_rng(0)
+    d1 = rng.normal(size=(n_pairs, n_kp, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = rng.normal(size=(n_pairs, n_kp, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    m = np.ones((n_pairs, n_kp), bool)
+    d1j, d2j = jnp.asarray(d1), jnp.asarray(d2)
+    mj = jnp.asarray(m)
+
+    out = matching.match_pairs_batch(d1j, d2j, mj, mj)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = matching.match_pairs_batch(d1j, d2j, mj, mj)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n_pairs * iters / dt
+
+
+def main():
+    import jax
+    ba_its = bench_ba()
+    pairs_s = bench_matching()
+    platform = jax.devices()[0].platform
+    baseline_ba_its = 10.0   # Ceres DENSE_SCHUR 1-thread CPU proxy (see docstring)
+    print(json.dumps({
+        "metric": "ba_iterations_per_s",
+        "value": round(ba_its, 3),
+        "unit": "LM iterations/s (64 cams, 16k pts, 6 views)",
+        "vs_baseline": round(ba_its / baseline_ba_its, 3),
+        "matched_pairs_per_s": round(pairs_s, 3),
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,8 +106,18 @@ def problem_cost(problem: BAProblem, huber_delta: float):
     return robust_cost(compute_residuals(problem), problem.track_mask, huber_delta)
 
 
-def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig):
-    """One LM linearization: build Schur system, solve for (d_cam, d_pt)."""
+def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
+    """Linearize the local track shard into its share of the reduced system.
+
+    Every term of (S, rhs) is a sum over tracks, so a shard of tracks
+    produces an additive partial — the distributed decomposition
+    (SURVEY.md §2.11): shards psum their (S_raw, rhs_raw) over ICI and each
+    chip solves the (replicated) reduced system, keeping point elimination
+    and back-substitution fully local.
+
+    Returns (S_raw, rhs_raw, aux): the *undamped, unmasked* camera system
+    partials plus per-track tensors needed for back-substitution.
+    """
     C, M, P, V = (problem.n_cameras, problem.n_models, problem.n_points,
                   problem.max_views)
     D = 6 * C + 3 * M
@@ -189,6 +199,14 @@ def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig):
     corr = jnp.einsum("pvij,pj->pvi", W, y)              # (P,V,9)
     rhs = -g_cam + jax.ops.segment_sum(corr.reshape(-1), dofs.reshape(-1), D)
 
+    aux = {"Hpp_inv": Hpp_inv, "W": W, "dofs": dofs, "g_pt": g_pt}
+    return S, rhs, aux
+
+
+def solve_reduced(S, rhs, problem: BAProblem, lam, cfg: LMConfig):
+    """Damp + freeze-mask the (already psum-complete) reduced system, solve."""
+    C, M = problem.n_cameras, problem.n_models
+    D = 6 * C + 3 * M
     # ---- damping + mutability on camera system ----
     diag = jnp.diagonal(S)
     S = S.at[jnp.arange(D), jnp.arange(D)].add(lam * jnp.maximum(diag, 1e-12) + 1e-10)
@@ -206,13 +224,24 @@ def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig):
     else:
         L = jax.scipy.linalg.cho_factor(S, lower=True)
         d_cam = jax.scipy.linalg.cho_solve(L, rhs)
+    return d_cam
 
-    # ---- back-substitute points: d_pt = -Hpp_inv (g_pt + E^T d_cam) ----
+
+def backsub_points(aux, d_cam, problem: BAProblem):
+    """Local point back-substitution: d_pt = -Hpp_inv (g_pt + E^T d_cam)."""
+    W, dofs, Hpp_inv, g_pt = aux["W"], aux["dofs"], aux["Hpp_inv"], aux["g_pt"]
     dc_views = d_cam[dofs]                               # (P,V,9)
     Et_dc = jnp.einsum("pvij,pvi->pj", W, dc_views)      # (P,3)
     d_pt = -jnp.einsum("pij,pj->pi", Hpp_inv, g_pt + Et_dc)
-    d_pt = d_pt * problem.point_mut[:, None]
+    return d_pt * problem.point_mut[:, None]
 
+
+def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig):
+    """Single-device path: partial system == full system."""
+    C, M = problem.n_cameras, problem.n_models
+    S, rhs, aux = partial_camera_system(problem, lam, cfg)
+    d_cam = solve_reduced(S, rhs, problem, lam, cfg)
+    d_pt = backsub_points(aux, d_cam, problem)
     d_pose = d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None]
     d_intr = d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None]
     return d_pose, d_intr, d_pt

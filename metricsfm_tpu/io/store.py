@@ -1,0 +1,154 @@
+"""Columnar per-image array store with resume semantics.
+
+Replaces the reference's ad-hoc binary files + append-log indices
+({i}_feature / {i}_words / {i}_match + feature_index.txt etc.,
+ database.cc:490-541,753-811, fine_matching_graph.cc:182-193) with .npz
+shards keyed by image id.  Resume = "recompute whatever file is missing",
+exactly the reference semantics (database.cc:209-247).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _fpath(out: str, i: int) -> str:
+    return os.path.join(out, f"{i}_feature.npz")
+
+
+def _wpath(out: str, i: int) -> str:
+    return os.path.join(out, f"{i}_words.npz")
+
+
+def _mpath(out: str, i: int, j: int) -> str:
+    return os.path.join(out, f"{i}_{j}_match.npz")
+
+
+def has_features(out: str, i: int) -> bool:
+    return os.path.exists(_fpath(out, i))
+
+
+def write_features(out: str, i: int, xy, desc, mask, sigma, angle, meta: dict):
+    tmp = os.path.join(out, f"{i}_feature.tmp.npz")
+    np.savez_compressed(tmp, xy=xy, desc=desc, mask=mask, sigma=sigma,
+                        angle=angle, meta=json.dumps(meta))
+    os.replace(tmp, _fpath(out, i))
+
+
+def read_features(out: str, i: int) -> Optional[dict]:
+    p = _fpath(out, i)
+    if not os.path.exists(p):
+        return None
+    z = np.load(p, allow_pickle=False)
+    return {"xy": z["xy"], "desc": z["desc"], "mask": z["mask"],
+            "sigma": z["sigma"], "angle": z["angle"],
+            "meta": json.loads(str(z["meta"]))}
+
+
+def write_words(out: str, i: int, words, counts):
+    np.savez_compressed(_wpath(out, i), words=words, counts=counts)
+
+
+def read_words(out: str, i: int) -> Optional[dict]:
+    p = _wpath(out, i)
+    if not os.path.exists(p):
+        return None
+    z = np.load(p)
+    return {"words": z["words"], "counts": z["counts"]}
+
+
+def write_matches(out: str, i: int, j: int, kp_i, kp_j):
+    np.savez_compressed(_mpath(out, i, j), kp_i=kp_i, kp_j=kp_j)
+
+
+def read_matches(out: str, i: int, j: int) -> Optional[dict]:
+    p = _mpath(out, i, j)
+    if not os.path.exists(p):
+        return None
+    z = np.load(p)
+    return {"kp_i": z["kp_i"], "kp_j": z["kp_j"]}
+
+
+def has_matches(out: str, i: int, j: int) -> bool:
+    return os.path.exists(_mpath(out, i, j))
+
+
+# -- vocabulary ------------------------------------------------------------
+
+def write_vocabulary(out: str, voc):
+    np.savez_compressed(os.path.join(out, "voctree.npz"),
+                        coarse=np.asarray(voc.coarse),
+                        fine=np.asarray(voc.fine))
+
+
+def read_vocabulary(out: str):
+    p = os.path.join(out, "voctree.npz")
+    if not os.path.exists(p):
+        return None
+    import jax.numpy as jnp
+    from ..ops.kmeans import Vocabulary
+    z = np.load(p)
+    return Vocabulary(coarse=jnp.asarray(z["coarse"]),
+                      fine=jnp.asarray(z["fine"]))
+
+
+# -- match graph -----------------------------------------------------------
+
+def write_match_graph(out: str, graph: Dict):
+    """graph: {(i, j): n_matches} upper-triangular dict."""
+    items = sorted(graph.items())
+    arr = np.array([[i, j, n] for (i, j), n in items], np.int64).reshape(-1, 3)
+    np.savez_compressed(os.path.join(out, "graph_matching.npz"), edges=arr)
+
+
+def read_match_graph(out: str) -> Optional[Dict]:
+    p = os.path.join(out, "graph_matching.npz")
+    if not os.path.exists(p):
+        return None
+    z = np.load(p)
+    return {(int(i), int(j)): int(n) for i, j, n in z["edges"]}
+
+
+# -- reconstruction checkpoints (ref WriteTempResultOut, sfm_incremental.cc:1465) --
+
+def write_scene_checkpoint(out: str, scene, tag: str):
+    poses = {str(k): v.tolist() for k, v in scene.poses.items()}
+    models = [{"f": m.f, "k1": m.k1, "k2": m.k2, "f_hint": m.f_hint,
+               "calibrated": m.calibrated} for m in scene.models]
+    model_of_image = {str(k): v for k, v in scene.model_of_image.items()}
+    tracks = [{"xyz": t.xyz.tolist(), "obs": {str(k): int(v) for k, v in t.obs.items()},
+               "bad": t.is_bad} for t in scene.tracks]
+    fails = {str(k): v for k, v in scene.localization_failures.items()}
+    blob = {"poses": poses, "models": models, "model_of_image": model_of_image,
+            "tracks": tracks, "failures": fails, "n_images": scene.n_images}
+    tmp = os.path.join(out, f"scene_{tag}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(blob, f)
+    os.replace(tmp, os.path.join(out, f"scene_{tag}.json"))
+
+
+def read_scene_checkpoint(out: str, tag: str, kp_counts: Dict[int, int]):
+    """Rebuild a Scene (ref ReadTempResultIn, sfm_incremental.cc:1622-1749)."""
+    p = os.path.join(out, f"scene_{tag}.json")
+    if not os.path.exists(p):
+        return None
+    from ..models.scene import CameraModel, Scene
+    with open(p) as f:
+        blob = json.load(f)
+    scene = Scene(blob["n_images"])
+    for m in blob["models"]:
+        scene.add_camera_model(CameraModel(**m))
+    for k, pose in blob["poses"].items():
+        img = int(k)
+        scene.register_image(img, np.array(pose),
+                             blob["model_of_image"][k], kp_counts[img])
+    for t in blob["tracks"]:
+        if t["bad"]:
+            continue
+        scene.add_track(np.array(t["xyz"]),
+                        {int(k): v for k, v in t["obs"].items()})
+    scene.localization_failures = {int(k): v for k, v in blob["failures"].items()}
+    return scene

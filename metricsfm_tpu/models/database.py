@@ -1,0 +1,169 @@
+"""Image database: discovery, EXIF, feature extraction, word bags, resume.
+
+Re-design of the reference Database (SfM/src/database.{h,cc}):
+  * image discovery by glob over jpg/png/bmp/tiff (database.cc:178-207)
+  * EXIF focal (mm -> pixels) + GPS (database.cc:249-281) via PIL
+  * optional resize to a target pixel count (database.cc:300-308)
+  * SIFT feature extraction (TPU pallas/XLA kernel, ops/sift.py) with
+    per-image persistence and resume: only missing entries recomputed
+    (feature_index semantics, database.cc:62-100,209-247)
+  * vocabulary training + per-image word bags (database.cc:655-867)
+
+Storage is a columnar per-image .npz store (io/store.py) instead of the
+reference's ad-hoc binaries; same checkpoint/resume granularity.
+"""
+from __future__ import annotations
+
+import glob as globlib
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import DatabaseOptions
+from ..io import store as fstore
+from ..ops import sift
+from ..utils import exif as exif_util
+from .incremental import ImageFeatures
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
+
+
+def search_image_paths(fold: str) -> List[str]:
+    """Glob image files (ref SearchImagePaths, database.cc:178-207)."""
+    out = []
+    for p in sorted(os.listdir(fold)):
+        if p.lower().endswith(IMAGE_EXTS):
+            out.append(os.path.join(fold, p))
+    return out
+
+
+def load_image_gray(path: str, target_pixels: Optional[int] = None):
+    """Decode to float grayscale in [0,1]; optional resize to ~target pixels
+    (ref database.cc:300-308).  Returns (img (H,W) float32, ratio)."""
+    from PIL import Image
+    im = Image.open(path)
+    w, h = im.size
+    ratio = 1.0
+    if target_pixels and w * h > target_pixels:
+        ratio = (target_pixels / (w * h)) ** 0.5
+        im = im.resize((max(int(w * ratio), 8), max(int(h * ratio), 8)))
+    g = np.asarray(im.convert("L"), np.float32) / 255.0
+    return g, ratio
+
+
+class Database:
+    """Feature + word database with per-image resume."""
+
+    def __init__(self, fold: str, options: DatabaseOptions,
+                 output_fold: Optional[str] = None):
+        self.fold = fold
+        self.opts = options
+        self.out = output_fold or os.path.join(fold, "mtpu_db")
+        os.makedirs(self.out, exist_ok=True)
+        self.image_paths = search_image_paths(fold)
+        self.n_images = len(self.image_paths)
+        self.image_info: List[dict] = [None] * self.n_images
+        self._features: Dict[int, ImageFeatures] = {}
+
+    # -- feature stage -----------------------------------------------------
+    def feature_extraction(self, jit_pad_to: Optional[Tuple[int, int]] = None,
+                           verbose: bool = False):
+        """Extract (or resume) SIFT features for every image
+        (ref FeatureExtraction, database.cc:51-107)."""
+        import jax.numpy as jnp
+        cfg = sift.SiftConfig(max_keypoints=self.opts.max_keypoints)
+        for i, path in enumerate(self.image_paths):
+            if fstore.has_features(self.out, i):
+                continue
+            img, ratio = load_image_gray(path, self.opts.size_image
+                                         if self.opts.resize else None)
+            info = exif_util.extract_image_info(path)
+            f_px = info.get("focal_px", 0.0) * ratio
+            if jit_pad_to:
+                H, W = jit_pad_to
+                img = np.pad(img[:H, :W],
+                             ((0, max(H - img.shape[0], 0)),
+                              (0, max(W - img.shape[1], 0))))
+            out = sift.extract(jnp.asarray(img), cfg)
+            fstore.write_features(
+                self.out, i,
+                xy=np.asarray(out["xy"]), desc=np.asarray(out["desc"]),
+                mask=np.asarray(out["mask"]), sigma=np.asarray(out["sigma"]),
+                angle=np.asarray(out["angle"]),
+                meta={"width": img.shape[1], "height": img.shape[0],
+                      "focal_px": f_px,
+                      "gps": info.get("gps", (0.0, 0.0, 0.0)),
+                      "path": path})
+            if verbose and i % 5 == 0:
+                print(f"features {i}/{self.n_images}")
+
+    def features(self, i: int) -> ImageFeatures:
+        """Lazy paged read (ref ReadinImageFeatures/Release,
+        database.cc:352-423,595-600)."""
+        if i not in self._features:
+            d = fstore.read_features(self.out, i)
+            self._features[i] = ImageFeatures(
+                xy=d["xy"], desc=d["desc"], mask=d["mask"],
+                width=int(d["meta"]["width"]), height=int(d["meta"]["height"]),
+                focal_exif=float(d["meta"]["focal_px"]))
+        return self._features[i]
+
+    def gps(self, i: int):
+        d = fstore.read_features(self.out, i)
+        return tuple(d["meta"]["gps"])
+
+    def release(self, i: int):
+        self._features.pop(i, None)
+
+    # -- word stage --------------------------------------------------------
+    def build_words(self, key=None, verbose: bool = False):
+        """Vocabulary + per-image word bags with resume
+        (ref BuildWords/BuildVocabularyTree, database.cc:655-867)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import kmeans as km
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        voc = fstore.read_vocabulary(self.out)
+        if voc is None:
+            # sample training descriptors from <= num_image_voc images
+            idxs = np.linspace(0, self.n_images - 1,
+                               min(self.n_images, self.opts.num_image_voc)
+                               ).astype(int)
+            descs = []
+            for i in idxs:
+                f = self.features(i)
+                descs.append(f.desc[f.mask])
+                self.release(i)
+            train = np.concatenate(descs)[:200000]
+            b1 = min(64, max(4, int(np.sqrt(len(train) // 16))))
+            voc = km.train_vocabulary(jnp.asarray(train), key,
+                                      branch1=b1, branch2=b1)
+            fstore.write_vocabulary(self.out, voc)
+            if verbose:
+                print(f"vocabulary: {voc.n_words} words")
+        n_words = int(voc.n_words)
+        counts = np.zeros((self.n_images, n_words), np.float32)
+        for i in range(self.n_images):
+            cached = fstore.read_words(self.out, i)
+            if cached is not None:
+                counts[i] = cached["counts"]
+                continue
+            f = self.features(i)
+            if int(f.mask.sum()) < self.opts.min_keypoints_for_words:
+                fstore.write_words(self.out, i,
+                                   words=np.full(len(f.xy), -1, np.int32),
+                                   counts=np.zeros(n_words, np.float32))
+                self.release(i)
+                continue
+            from ..ops.kmeans import transform
+            words, cts = transform(voc, jnp.asarray(f.desc),
+                                  jnp.asarray(f.mask))
+            fstore.write_words(self.out, i, words=np.asarray(words),
+                               counts=np.asarray(cts))
+            counts[i] = np.asarray(cts)
+            self.release(i)
+        return voc, counts

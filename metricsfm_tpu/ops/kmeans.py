@@ -1,0 +1,146 @@
+"""K-means vocabulary, BoW transform, inverted-file similarity.
+
+TPU-native replacement for the fbow vocabulary stack
+(thirdparty/fbow: hierarchical k-means k=10 L=6, SURVEY.md §2.3;
+ src/graph/similarity_graph.cc — inverted-file co-occurrence with stop
+ words, and pairwise BoW distance).
+
+Design: a (shallow) hierarchical k-means tree trained with batched Lloyd
+iterations — every assignment is one MXU matmul (-2 a.b distance trick).
+The BoW "vector" is the word-count histogram; image-pair similarity is one
+big counts @ counts.T matmul with idf weighting and stop-word zeroing —
+the inverted-file semantics as dense linear algebra.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """Two-level k-means tree: coarse (B1, D) + fine (B1, B2, D) centroids.
+
+    n_words = B1 * B2.  Replaces fbow's k=10/L=6 deep tree with a shallow
+    MXU-friendly one (two matmuls per assignment, same BoW semantics).
+    """
+    coarse: jnp.ndarray
+    fine: jnp.ndarray
+
+    @property
+    def n_words(self):
+        return self.coarse.shape[0] * self.fine.shape[1]
+
+
+def _assign(desc, centroids):
+    """Nearest-centroid index per row; one matmul on the MXU."""
+    sim = jnp.dot(desc, centroids.T, preferred_element_type=jnp.float32)
+    c2 = jnp.sum(centroids * centroids, axis=-1)
+    d = c2[None, :] - 2.0 * sim
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans(desc, key, k: int, iters: int = 20, mask=None):
+    """Lloyd's k-means on (N, D) rows; returns (k, D) centroids.
+
+    Empty clusters re-seed from random rows (matching fbow's behavior of
+    keeping k fixed).
+    """
+    N = desc.shape[0]
+    m = jnp.ones((N,), desc.dtype) if mask is None else mask.astype(desc.dtype)
+    init_idx = jax.random.choice(key, N, shape=(k,), replace=False,
+                                 p=m / jnp.sum(m))
+    cent = desc[init_idx]
+
+    def body(i, cent):
+        a = _assign(desc, cent)
+        one_hot_sum = jax.ops.segment_sum(desc * m[:, None], a, k)
+        counts = jax.ops.segment_sum(m, a, k)
+        new = one_hot_sum / jnp.maximum(counts[:, None], 1e-6)
+        # re-seed empties deterministically from data rows
+        reseed = desc[(jnp.arange(k) * 7919) % N]
+        return jnp.where(counts[:, None] > 0.5, new, reseed)
+
+    return jax.lax.fori_loop(0, iters, body, cent)
+
+
+def train_vocabulary(desc, key, branch1: int = 64, branch2: int = 64,
+                     iters: int = 15, mask=None) -> Vocabulary:
+    """Train the two-level tree (host loop over coarse cells, device kernels).
+
+    Mirrors Database::BuildVocabularyTree (database.cc:655-677): trained on
+    a sample of descriptors from <=num_image_voc images.
+    """
+    k1, k2 = jax.random.split(key)
+    coarse = kmeans(desc, k1, branch1, iters, mask)
+    a = np.asarray(_assign(desc, coarse))
+    m = np.ones(desc.shape[0], bool) if mask is None else np.asarray(mask, bool)
+    D = desc.shape[1]
+    fine = np.zeros((branch1, branch2, D), np.float32)
+    desc_np = np.asarray(desc)
+    keys = jax.random.split(k2, branch1)
+    for c in range(branch1):
+        rows = np.where((a == c) & m)[0]
+        if len(rows) < branch2:
+            # degenerate cell: tile the cell's rows (or the coarse centroid)
+            if len(rows) == 0:
+                fine[c] = np.asarray(coarse[c])[None, :].repeat(branch2, 0)
+                continue
+            reps = desc_np[rows]
+            fine[c] = reps[np.arange(branch2) % len(rows)]
+            continue
+        sub = jnp.asarray(desc_np[rows])
+        fine[c] = np.asarray(kmeans(sub, keys[c], branch2, iters))
+    return Vocabulary(coarse=jnp.asarray(coarse), fine=jnp.asarray(fine))
+
+
+@jax.jit
+def transform(voc: Vocabulary, desc, mask=None):
+    """Per-descriptor word ids + word-count histogram (the fBow vector).
+
+    Mirrors Vocabulary::transform (fbow.h:87) + GenerateWordsForImage
+    (database.cc:853-867).
+    Returns (word_ids (N,), counts (n_words,)).
+    """
+    c_idx = _assign(desc, voc.coarse)                       # (N,)
+    fine_c = voc.fine[c_idx]                                # (N, B2, D)
+    sim = jnp.einsum("nd,nkd->nk", desc, fine_c)
+    c2 = jnp.sum(fine_c * fine_c, axis=-1)
+    f_idx = jnp.argmin(c2 - 2.0 * sim, axis=-1).astype(jnp.int32)
+    words = c_idx * voc.fine.shape[1] + f_idx
+    n_words = voc.coarse.shape[0] * voc.fine.shape[1]
+    w = jnp.ones_like(words, jnp.float32) if mask is None else mask.astype(jnp.float32)
+    counts = jax.ops.segment_sum(w, words, n_words)
+    words = jnp.where(w > 0, words, -1)
+    return words, counts
+
+
+@partial(jax.jit, static_argnames=("stop_word_frac",))
+def similarity_matrix(counts, stop_word_frac: float = 0.01):
+    """Pairwise image similarity from BoW count rows (n_imgs, n_words).
+
+    Inverted-file semantics as dense algebra (similarity_graph.cc:47-117):
+    words present in more than `stop_word_frac` of images are dropped as
+    stop words; rows are idf-weighted and L2-normalized; similarity is the
+    cosine matrix (one MXU matmul).  Diagonal zeroed.
+    """
+    n = counts.shape[0]
+    present = (counts > 0).astype(jnp.float32)
+    doc_freq = jnp.sum(present, axis=0)
+    keep = doc_freq <= jnp.maximum(stop_word_frac * n, 1.0)
+    idf = jnp.log(jnp.maximum(n / jnp.maximum(doc_freq, 1.0), 1.0))
+    w = counts * idf[None, :] * keep[None, :].astype(jnp.float32)
+    w = w / jnp.maximum(jnp.linalg.norm(w, axis=1, keepdims=True), 1e-12)
+    sim = jnp.dot(w, w.T, preferred_element_type=jnp.float32)
+    return sim * (1.0 - jnp.eye(n))
+
+
+def top_candidates(sim, n_candidates: int):
+    """Per-image top-k similar images (ref initial_matching_graph.cc:168-169:
+    min(max(200, n/10), 500) candidates per image)."""
+    vals, idx = jax.lax.top_k(sim, n_candidates)
+    return vals, idx

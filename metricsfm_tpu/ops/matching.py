@@ -74,9 +74,11 @@ def knn2(desc1, desc2, mask2=None, chunk: int = 2048, use_bf16: bool = True):
         srt = jnp.sort(stacked, axis=0)
         return (srt[-1], srt[-2], new_best_idx), None
 
-    init = (jnp.full((desc1.shape[0],), -jnp.inf, jnp.float32),
-            jnp.full((desc1.shape[0],), -jnp.inf, jnp.float32),
-            jnp.zeros((desc1.shape[0],), jnp.int32))
+    # derive carry init from desc1 so it inherits device-varying type under
+    # shard_map (a literal init would be replicated and fail the scan check)
+    row0 = jnp.zeros_like(desc1[:, 0], dtype=jnp.float32)
+    init = (row0 - jnp.inf, row0 - jnp.inf,
+            jnp.zeros_like(desc1[:, 0], dtype=jnp.int32))
     offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (best, second, best_idx), _ = jax.lax.scan(body, init, (d2b, m2b, offs))
     d1_sq = jnp.maximum(2.0 - 2.0 * best, 0.0)

@@ -1,0 +1,58 @@
+"""Mesh construction + problem sharding helpers."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D data mesh over the first n_data devices (default: all)."""
+    devs = jax.devices()
+    n = n_data or len(devs)
+    return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0,
+                    value=0):
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=value)
+
+
+def shard_tracks(problem, mesh: Mesh, axis_name: str = "data"):
+    """Shard a BAProblem's track-indexed arrays over the mesh data axis.
+
+    Camera-indexed arrays are replicated.  Track count must be padded to a
+    multiple of the axis size (bucketed shapes already are, since buckets
+    are powers of two).
+    """
+    n = mesh.shape[axis_name]
+    assert problem.n_points % n == 0, \
+        f"track count {problem.n_points} not divisible by mesh axis {n}"
+    track_sharded = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def place(x, sharded):
+        return jax.device_put(x, track_sharded if sharded else repl)
+
+    return problem._replace(
+        poses=place(problem.poses, False),
+        intrs=place(problem.intrs, False),
+        cam_model=place(problem.cam_model, False),
+        points=place(problem.points, True),
+        track_cam=place(problem.track_cam, True),
+        track_uv=place(problem.track_uv, True),
+        track_mask=place(problem.track_mask, True),
+        track_weight=place(problem.track_weight, True),
+        pose_mut=place(problem.pose_mut, False),
+        intr_mut=place(problem.intr_mut, False),
+        point_mut=place(problem.point_mut, True),
+    )

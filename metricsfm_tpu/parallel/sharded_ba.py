@@ -1,0 +1,115 @@
+"""Distributed Schur-complement LM over a device mesh.
+
+The north-star component (SURVEY.md §2.11, §7 hard part #1): replaces the
+reference's single-threaded Ceres DENSE_SCHUR (optimizer.cc:47) with a
+track-sharded bundle adjuster:
+
+* Tracks (points + their observations) are sharded over the mesh `data`
+  axis; cameras are replicated.  Every term of the reduced camera system
+  (S, rhs) is a sum over tracks, so each shard computes an additive partial
+  and one `lax.psum` over ICI completes the normal equations.
+* Point elimination (batched 3x3 inverses) and back-substitution stay
+  entirely local to each shard — zero communication.
+* The dense reduced solve is replicated per chip (cheap for thousands of
+  camera dofs; the psum'd system is already resident everywhere).
+
+Communication per LM iteration: one psum of (D^2 + D) floats + one scalar
+psum for the cost — independent of the number of observations.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ba.lm import (LMConfig, backsub_points, partial_camera_system,
+                     robust_cost, solve_reduced, compute_residuals)
+from ..ba.problem import BAProblem
+
+
+def _local_cost(problem: BAProblem, huber_delta, axis_name):
+    r = compute_residuals(problem)
+    c = robust_cost(r, problem.track_mask, huber_delta)
+    return jax.lax.psum(c, axis_name)
+
+
+def _make_step(cfg: LMConfig, axis_name: str):
+    def step(problem: BAProblem, lam):
+        """One LM candidate step on the local shard (collectives inside)."""
+        C, M = problem.n_cameras, problem.n_models
+        S_part, rhs_part, aux = partial_camera_system(problem, lam, cfg)
+        S = jax.lax.psum(S_part, axis_name)
+        rhs = jax.lax.psum(rhs_part, axis_name)
+        d_cam = solve_reduced(S, rhs, problem, lam, cfg)
+        d_pt = backsub_points(aux, d_cam, problem)
+        d_pose = d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None]
+        d_intr = d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None]
+        return problem._replace(
+            poses=problem.poses + d_pose,
+            intrs=problem.intrs + d_intr,
+            points=problem.points + d_pt)
+    return step
+
+
+def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
+                    axis_name: str = "data"):
+    """Build the jitted sharded LM solver for a given mesh.
+
+    Returns solve(problem) -> (problem, info); `problem`'s track arrays must
+    be sharded over `axis_name` (see parallel.mesh.shard_tracks).
+    """
+    step = _make_step(cfg, axis_name)
+
+    def lm_shard(problem: BAProblem):
+        cost0 = _local_cost(problem, cfg.huber_delta, axis_name)
+
+        def cond(state):
+            it, _, _, _, done = state
+            return (it < cfg.max_iterations) & (~done)
+
+        def body(state):
+            it, prob, lam, cost, done = state
+            cand = step(prob, lam)
+            new_cost = _local_cost(cand, cfg.huber_delta, axis_name)
+            accept = (new_cost < cost) & jnp.isfinite(new_cost)
+            prob = jax.tree.map(lambda a, b: jnp.where(accept, b, a), prob, cand)
+            lam = jnp.where(accept,
+                            jnp.maximum(lam / cfg.lambda_down, cfg.min_lambda),
+                            jnp.minimum(lam * cfg.lambda_up, cfg.max_lambda))
+            rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-20)
+            done = accept & (rel < cfg.rtol)
+            cost = jnp.where(accept, new_cost, cost)
+            return it + 1, prob, lam, cost, done
+
+        lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
+        it, prob, lam, cost, done = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False)))
+        info = {"initial_cost": cost0, "final_cost": cost,
+                "iterations": it, "lambda": lam, "converged": done}
+        return prob, info
+
+    track = P(axis_name)
+    repl = P()
+    in_spec = BAProblem(
+        poses=repl, intrs=repl, cam_model=repl, points=track,
+        track_cam=track, track_uv=track, track_mask=track,
+        track_weight=track, pose_mut=repl, intr_mut=repl, point_mut=track)
+    info_spec = {"initial_cost": repl, "final_cost": repl,
+                 "iterations": repl, "lambda": repl, "converged": repl}
+
+    shard_fn = jax.shard_map(
+        lm_shard, mesh=mesh, in_specs=(in_spec,),
+        out_specs=(in_spec, info_spec))
+    return jax.jit(shard_fn)
+
+
+def solve_lm_sharded(problem: BAProblem, mesh: Mesh,
+                     cfg: LMConfig = LMConfig(), axis_name: str = "data"):
+    """Convenience wrapper: shard tracks, run, return gathered problem."""
+    from .mesh import shard_tracks
+    sharded = shard_tracks(problem, mesh, axis_name)
+    solver = make_sharded_lm(mesh, cfg, axis_name)
+    out, info = solver(sharded)
+    return out, info
