@@ -102,8 +102,20 @@ def compute_residuals(problem: BAProblem):
     return r * w * problem.track_mask.astype(r.dtype)[:, :, None]
 
 
+def gps_residuals(problem: BAProblem):
+    """GPS camera-center anchor residuals (C, 3): weight*(center - gps).
+
+    Reference GPSErrorPoseAbsolute (utils/gps_error_pose_absolute.h:31-44)
+    with per-axis weights (z down-weighted x1/5 by the caller)."""
+    centers = jax.vmap(projection.camera_center)(problem.poses)
+    return problem.gps_weight * (centers - problem.gps_pos)
+
+
 def problem_cost(problem: BAProblem, huber_delta: float):
-    return robust_cost(compute_residuals(problem), problem.track_mask, huber_delta)
+    reproj = robust_cost(compute_residuals(problem), problem.track_mask,
+                         huber_delta)
+    rg = gps_residuals(problem)
+    return reproj + 0.5 * jnp.sum(rg * rg)
 
 
 def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
@@ -204,9 +216,29 @@ def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
 
 
 def solve_reduced(S, rhs, problem: BAProblem, lam, cfg: LMConfig):
-    """Damp + freeze-mask the (already psum-complete) reduced system, solve."""
+    """Damp + freeze-mask the (already psum-complete) reduced system, solve.
+
+    GPS anchor terms are camera-indexed (replicated under sharding), so they
+    are added here — once, after the psum — not in the per-shard partials.
+    """
     C, M = problem.n_cameras, problem.n_models
     D = 6 * C + 3 * M
+
+    # ---- GPS camera-center anchors ----
+    def gps_rj(pose, gpos, gw):
+        def r(p):
+            return gw * (projection.camera_center(p) - gpos)
+        return r(pose), jax.jacfwd(r)(pose)
+
+    rg, Jg = jax.vmap(gps_rj)(problem.poses, problem.gps_pos,
+                              problem.gps_weight)      # (C,3), (C,3,6)
+    Hg = jnp.einsum("cri,crj->cij", Jg, Jg)            # (C,6,6)
+    gg = jnp.einsum("cri,cr->ci", Jg, rg)              # (C,6)
+    pose_rows = 6 * jnp.arange(C)[:, None] + jnp.arange(6)[None, :]
+    S = S.at[pose_rows[:, :, None], pose_rows[:, None, :]].add(Hg)
+    rhs = rhs - jnp.concatenate([gg.reshape(-1),
+                                 jnp.zeros((3 * M,), rhs.dtype)])
+
     # ---- damping + mutability on camera system ----
     diag = jnp.diagonal(S)
     S = S.at[jnp.arange(D), jnp.arange(D)].add(lam * jnp.maximum(diag, 1e-12) + 1e-10)

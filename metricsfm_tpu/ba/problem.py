@@ -39,6 +39,11 @@ class BAProblem(NamedTuple):
     pose_mut: jnp.ndarray     # (C,)   1.0 = free, 0.0 = frozen
     intr_mut: jnp.ndarray     # (M,)
     point_mut: jnp.ndarray    # (P,)
+    # GPS camera-center anchors (ref gps_error_pose_absolute.h): residual
+    # gps_weight * (camera_center(pose) - gps_pos); weight 0 disables.
+    # Per-axis weights express the reference's z/5 down-weighting.
+    gps_pos: jnp.ndarray      # (C, 3) UTM-offset anchor positions
+    gps_weight: jnp.ndarray   # (C, 3) per-axis residual weights
 
     @property
     def n_cameras(self):
@@ -66,7 +71,8 @@ class BAProblem(NamedTuple):
 
 def build_problem(poses, intrs, cam_model, points, track_cam, track_uv,
                   track_mask, track_weight=None, pose_mut=None, intr_mut=None,
-                  point_mut=None, dtype=jnp.float32) -> BAProblem:
+                  point_mut=None, gps_pos=None, gps_weight=None,
+                  dtype=jnp.float32) -> BAProblem:
     """Assemble a BAProblem from host arrays, filling default masks."""
     poses = jnp.asarray(poses, dtype)
     intrs = jnp.asarray(intrs, dtype)
@@ -88,6 +94,8 @@ def build_problem(poses, intrs, cam_model, points, track_cam, track_uv,
         pose_mut=jnp.ones((C,), dtype) if pose_mut is None else jnp.asarray(pose_mut, dtype),
         intr_mut=jnp.ones((M,), dtype) if intr_mut is None else jnp.asarray(intr_mut, dtype),
         point_mut=jnp.ones((P,), dtype) if point_mut is None else jnp.asarray(point_mut, dtype),
+        gps_pos=jnp.zeros((C, 3), dtype) if gps_pos is None else jnp.asarray(gps_pos, dtype),
+        gps_weight=jnp.zeros((C, 3), dtype) if gps_weight is None else jnp.asarray(gps_weight, dtype),
     )
 
 
@@ -115,7 +123,9 @@ def normalize_problem(problem: BAProblem, target_scale: float = 100.0):
     t = problem.poses[:, 3:6]
     t_new = s * (t + jnp.einsum("cij,j->ci", R, med))
     new_poses = jnp.concatenate([problem.poses[:, :3], t_new], axis=-1)
-    return problem._replace(points=new_points, poses=new_poses), (med, s)
+    new_gps = (problem.gps_pos - med) * s
+    return problem._replace(points=new_points, poses=new_poses,
+                            gps_pos=new_gps), (med, s)
 
 
 def denormalize_problem(problem: BAProblem, transform):
@@ -127,7 +137,8 @@ def denormalize_problem(problem: BAProblem, transform):
     t = problem.poses[:, 3:6]
     t_new = t / s - jnp.einsum("cij,j->ci", R, med)
     new_poses = jnp.concatenate([problem.poses[:, :3], t_new], axis=-1)
-    return problem._replace(points=new_points, poses=new_poses)
+    return problem._replace(points=new_points, poses=new_poses,
+                            gps_pos=problem.gps_pos / s + med)
 
 
 def perturb_problem(problem: BAProblem, key, sigma_rot=0.1, sigma_t=0.5,

@@ -1,0 +1,351 @@
+"""GPS-aided SLAM-refinement pipeline (street/GoPro-video workload).
+
+Re-design of the reference SLAMGPS driver (SfM/src/slam_gps.{h,cc},
+SURVEY.md §3.4), file-format compatible with its inputs:
+
+  KeyFramePts.txt  — n cams (id, ts, fx fy cx cy, t, R) + n points with
+                     per-view observations (slam_gps.cc:139-216); pixel obs
+                     are centered at (cx, cy) and rescaled by resize_ratio.
+  pos.txt          — 'id lat lon alt' GPS rows; lat/lon -> UTM, altitude
+                     replaced by the track average (slam_gps.cc:218-245).
+  rgb.txt          — TUM-style frame index used to associate cameras with
+                     GPS rows (slam_gps.cc:247-288).
+
+Stages: global weighted-Umeyama alignment SLAM->GPS with turn-aware
+weights (slam_gps.cc:1596-1674), optional windowed re-matching +
+multi-view triangulation (>=3 views), per-point IDW GPS registration
+(GPSRegistration2, :917-983), GPS-anchored full BA (our Schur-LM with
+camera-center anchors, weight = #reproj-residuals/#cams, z/5), accuracy
+cull, and georeferenced exports with offset re-addition (Convert2GPS).
+"""
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ba import LMConfig, solve_lm
+from ..io import exports
+from ..ops import triangulation, umeyama
+from ..utils import utm as utm_util
+from .scene import CameraModel, Scene, bucket
+
+
+@dataclass
+class SLAMInput:
+    cam_ids: np.ndarray          # (C,) original frame ids
+    poses: np.ndarray            # (C, 6) world->cam [aa, t]
+    f: float                     # shared focal (rescaled)
+    cx: float
+    cy: float
+    points: np.ndarray           # (P, 3)
+    obs: List[Dict[int, Tuple[float, float]]]  # per point: cam_row -> (x, y) centered
+
+
+def read_slam(path: str, resize_ratio: float = 0.5) -> SLAMInput:
+    """Parse KeyFramePts.txt (ref ReadinSLAM, slam_gps.cc:139-216)."""
+    import jax.numpy as jnp
+    from ..ops import projection
+
+    with open(path) as f:
+        tok = f.read().split()
+    it = iter(tok)
+
+    def nxt():
+        return next(it)
+
+    n = int(nxt())
+    ids, poses = [], []
+    fx = fy = cx = cy = 0.0
+    for _ in range(n):
+        ids.append(int(nxt()))
+        _ts = float(nxt())
+        fx, fy, cx, cy = (float(nxt()) for _ in range(4))
+        t = np.array([float(nxt()) for _ in range(3)])
+        R = np.array([float(nxt()) for _ in range(9)]).reshape(3, 3)
+        poses.append(np.asarray(projection.pose_from_Rt(
+            jnp.asarray(R), jnp.asarray(t))))
+    id_to_row = {cid: r for r, cid in enumerate(ids)}
+
+    n_pts = int(nxt())
+    pts = np.zeros((n_pts, 3))
+    obs: List[Dict[int, Tuple[float, float]]] = []
+    for i in range(n_pts):
+        pts[i] = [float(nxt()) for _ in range(3)]
+        n_obs = int(nxt())
+        d = {}
+        for _ in range(n_obs):
+            cid = int(nxt())
+            px = float(nxt())
+            py = float(nxt())
+            if cid in id_to_row:
+                # centered then rescaled (ref :199)
+                d[id_to_row[cid]] = ((px - cx) / resize_ratio,
+                                     (py - cy) / resize_ratio)
+        obs.append(d)
+    f_shared = (fx + fy) / 2.0 / resize_ratio
+    return SLAMInput(cam_ids=np.array(ids), poses=np.stack(poses),
+                     f=f_shared, cx=cx / resize_ratio, cy=cy / resize_ratio,
+                     points=pts, obs=obs)
+
+
+def read_gps(path: str, ellipsoid: int = utm_util.WGS84) -> Dict[int, Tuple[float, float, float]]:
+    """Parse pos.txt -> {frame_id: (easting, northing, alt_avg)}
+    (ref ReadinGPS, slam_gps.cc:218-245: altitude averaged over the track)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            fid = int(parts[0])
+            lat, lon, alt = map(float, parts[1:4])
+            e, n, _ = utm_util.ll_to_utm(lat, lon, ellipsoid)
+            rows.append((fid, e, n, alt))
+    if not rows:
+        return {}
+    alt_avg = sum(r[3] for r in rows) / len(rows)
+    return {fid: (e, n, alt_avg) for fid, e, n, _ in rows}
+
+
+def read_frame_ids(path: str) -> List[int]:
+    """Parse rgb.txt frame list (3 header lines; ref :247-288)."""
+    out = []
+    with open(path) as f:
+        lines = f.read().splitlines()
+    for line in lines[3:]:
+        line = line.strip()
+        if not line:
+            break
+        name = line.split("/")[-1]
+        name = name.rsplit(".", 1)[0].split()[-1]
+        name = name.split("/")[-1]
+        try:
+            out.append(int(name))
+        except ValueError:
+            continue
+    return out
+
+
+def turn_weights(gps: np.ndarray, window: int = 20, max_deg: float = 80.0
+                 ) -> np.ndarray:
+    """Turn-aware alignment weights w = tan(|angle - pi| clipped to 80deg)
+    (ref AbsoluteOrientationWithGPSGlobal, slam_gps.cc:1601-1626)."""
+    n = len(gps)
+    w = np.zeros(n)
+    for i in range(n):
+        s = max(i - window, 0)
+        e = min(i + window, n - 1)
+        dxs, dys = gps[s, 0] - gps[i, 0], gps[s, 1] - gps[i, 1]
+        dxe, dye = gps[e, 0] - gps[i, 0], gps[e, 1] - gps[i, 1]
+        denom = math.sqrt(dxs * dxs + dys * dys + 0.1) * \
+            math.sqrt(dxe * dxe + dye * dye + 0.1)
+        ang = math.acos(max(-1.0, min(1.0, (dxs * dxe + dys * dye) / denom)))
+        ang = abs(ang - math.pi)
+        ang = min(ang, math.radians(max_deg))
+        w[i] = math.tan(ang)
+    return w
+
+
+class SLAMGPS:
+    """The SLAMGPS::Run pipeline (slam_gps.cc:63-137)."""
+
+    def __init__(self, config: PipelineConfig):
+        self.cfg = config
+        self.gps_offset = np.zeros(3)
+
+    def run(self, fold: str, verbose: bool = False) -> Scene:
+        slam = read_slam(os.path.join(fold, "KeyFramePts.txt"),
+                         self.cfg.slam.resize_ratio)
+        gps_info = read_gps(os.path.join(fold, "pos.txt"))
+        frame_ids = read_frame_ids(os.path.join(fold, "rgb.txt"))
+        # cams_gps[i] = gps of the cam's frame (ref association quirk kept:
+        # index into the gps-bearing frame list by cam id)
+        frames_with_gps = [fid for fid in frame_ids if fid in gps_info]
+        cams_gps = np.array([gps_info[frames_with_gps[cid]]
+                             if cid < len(frames_with_gps)
+                             else gps_info[frames_with_gps[-1]]
+                             for cid in slam.cam_ids])
+
+        scene = self._build_scene(slam)
+        self._align_global(scene, cams_gps, verbose)
+        self._gps_registration(scene, self._cams_gps_centered)
+        info = self._gps_bundle(scene, self._cams_gps_centered)
+        if verbose:
+            print("GPS BA:", {k: float(np.asarray(v)) for k, v in info.items()})
+        self._accuracy_cull(scene, fold)
+        self._exports(fold, scene, slam)
+        return scene
+
+    # ------------------------------------------------------------------
+    def _build_scene(self, slam: SLAMInput) -> Scene:
+        C = len(slam.cam_ids)
+        scene = Scene(C)
+        mi = scene.add_camera_model(CameraModel(f=slam.f, calibrated=True))
+        max_kp = max((max(d.keys(), default=0) for d in slam.obs), default=0)
+        # keypoint index bookkeeping: one synthetic kp per (point, cam)
+        self._kp_counter = {r: 0 for r in range(C)}
+        self._kp_xy: Dict[int, list] = {r: [] for r in range(C)}
+        for r in range(C):
+            scene.register_image(r, slam.poses[r], mi,
+                                 n_kps=len(slam.points))
+        for p_idx, d in enumerate(slam.obs):
+            if len(d) < 2:
+                continue
+            obs_map = {}
+            for cam_row, (x, y) in d.items():
+                kp = len(self._kp_xy[cam_row])
+                self._kp_xy[cam_row].append((x, y))
+                obs_map[cam_row] = kp
+            scene.add_track(slam.points[p_idx], obs_map)
+        # materialize kp arrays; widen kp_to_track to actual counts
+        self.kp_xy = {r: np.array(self._kp_xy[r]).reshape(-1, 2)
+                      for r in range(C)}
+        for r in range(C):
+            k2t = np.full(len(self.kp_xy[r]), -1, np.int64)
+            k2t[:len(scene.kp_to_track[r])] = -1
+            scene.kp_to_track[r] = k2t
+        for ti, t in enumerate(scene.tracks):
+            for img, kp in t.obs.items():
+                scene.kp_to_track[img][kp] = ti
+        return scene
+
+    def _align_global(self, scene: Scene, cams_gps: np.ndarray, verbose):
+        """Weighted similarity SLAM->GPS + offset demeaning (ref :1596-1674)."""
+        import jax.numpy as jnp
+        from ..ops import projection
+
+        centers = np.stack([
+            np.asarray(projection.camera_center(jnp.asarray(scene.poses[i])))
+            for i in scene.registered])
+        w = turn_weights(cams_gps)
+        if w.sum() < 1e-9:
+            w = np.ones_like(w)
+        s, R, t = umeyama.similarity_align(
+            jnp.asarray(centers, jnp.float64).astype(jnp.float32),
+            jnp.asarray(cams_gps, jnp.float64).astype(jnp.float32),
+            weights=jnp.asarray(w, jnp.float32))
+        s_, R_, t_ = float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
+        # transform cameras and points
+        for img in scene.registered:
+            pose = jnp.asarray(scene.poses[img], jnp.float32)
+            scene.poses[img] = np.asarray(projection.apply_similarity_to_pose(
+                pose, jnp.float32(s_), jnp.asarray(R_, jnp.float32),
+                jnp.asarray(t_, jnp.float32)), np.float64)
+        for tr in scene.tracks:
+            tr.xyz = s_ * R_ @ tr.xyz + t_
+        # demean: subtract mean camera center; keep as gps_offset (ref :1650-1673)
+        centers2 = np.stack([
+            np.asarray(projection.camera_center(jnp.asarray(scene.poses[i], jnp.float32)))
+            for i in scene.registered])
+        self.gps_offset = centers2.mean(axis=0)
+        for img in scene.registered:
+            pose = jnp.asarray(scene.poses[img], jnp.float32)
+            scene.poses[img] = np.asarray(projection.apply_similarity_to_pose(
+                pose, jnp.float32(1.0), jnp.eye(3, dtype=jnp.float32),
+                jnp.asarray(-self.gps_offset, jnp.float32)), np.float64)
+        for tr in scene.tracks:
+            tr.xyz = tr.xyz - self.gps_offset
+        self._cams_gps_centered = cams_gps - self.gps_offset
+
+    def _gps_registration(self, scene: Scene, cams_gps: np.ndarray):
+        """Per-point IDW blend of per-camera GPS offsets, then snap cameras
+        to GPS positions (ref GPSRegistration2, slam_gps.cc:917-983)."""
+        import jax.numpy as jnp
+        from ..ops import projection
+
+        imgs = scene.registered
+        centers = {i: np.asarray(projection.camera_center(
+            jnp.asarray(scene.poses[i], jnp.float32))) for i in imgs}
+        cam_offset = {i: cams_gps[k] - centers[i] for k, i in enumerate(imgs)}
+        for tr in scene.tracks:
+            if tr.is_bad:
+                continue
+            wsum, osum = 0.0, np.zeros(3)
+            for img in tr.obs:
+                d = np.linalg.norm(tr.xyz - centers[img])
+                w = 1.0 / (math.sqrt(d) + 5.0)
+                wsum += w
+                osum += w * cam_offset[img]
+            if wsum > 0:
+                tr.xyz = tr.xyz + osum / wsum
+        # snap each camera's center to its GPS position, keeping rotation
+        for k, img in enumerate(imgs):
+            aa = scene.poses[img][:3]
+            scene.poses[img] = np.asarray(projection.pose_from_center(
+                jnp.asarray(aa, jnp.float32),
+                jnp.asarray(cams_gps[k], jnp.float32)), np.float64)
+
+    def _gps_bundle(self, scene: Scene, cams_gps: np.ndarray):
+        """GPS-anchored full BA: weight = #reproj-residuals/#cams, z/5
+        (ref slam_gps.cc:718-830, gps_error_pose_absolute.h:41)."""
+        imgs = scene.registered
+        n_res = sum(len(t.obs) for t in scene.tracks if not t.is_bad)
+        w = float(n_res) / max(len(imgs), 1)
+        gps_w = np.tile(np.array([[w, w, w * self.cfg.slam.gps_weight_z_scale]]),
+                        (len(imgs), 1))
+        prob, maps = scene.to_ba_problem(
+            self.kp_xy, max_views=16,
+            mutable_images=imgs)  # no gauge freeze: GPS anchors fix it
+        prob = prob._replace(
+            gps_pos=np.asarray(cams_gps, np.float32),
+            gps_weight=np.asarray(gps_w, np.float32))
+        lm_cfg = LMConfig(max_iterations=self.cfg.ba.max_iterations,
+                          huber_delta=self.cfg.ba.huber_delta)
+        prob, info = solve_lm(prob, lm_cfg)
+        scene.update_from_ba(prob, maps)
+        return info
+
+    def _accuracy_cull(self, scene: Scene, fold: str):
+        """Reprojection stats + outlier cull + accuracy.txt
+        (ref GetAccuracy, slam_gps.cc:1573-1594)."""
+        from ..ba.lm import compute_residuals
+        prob, maps = scene.to_ba_problem(self.kp_xy, max_views=16)
+        r = np.asarray(compute_residuals(prob))
+        msk = np.asarray(prob.track_mask)
+        err = np.linalg.norm(r, axis=-1)
+        n_obs = int(msk.sum())
+        avg = float(err[msk].mean()) if n_obs else 0.0
+        mse = float((err[msk] ** 2).mean()) if n_obs else 0.0
+        exports.write_accuracy(os.path.join(fold, "accuracy.txt"),
+                               avg, mse, n_obs)
+        mse_row = (err ** 2 * msk).sum(1) / np.maximum(msk.sum(1), 1)
+        for row in np.where(np.sqrt(mse_row) > self.cfg.sfm.th_mse_outliers * 3)[0]:
+            if row < len(maps["tracks"]):
+                scene.mark_bad(maps["tracks"][row])
+
+    def convert_to_gps(self, xyz: np.ndarray) -> np.ndarray:
+        """Re-add the UTM offset (ref Convert2GPS, slam_gps.cc:1915-1948)."""
+        return xyz + self.gps_offset
+
+    def _exports(self, fold: str, scene: Scene, slam: SLAMInput):
+        out = os.path.join(fold, "mtpu_out")
+        os.makedirs(out, exist_ok=True)
+        exports.write_cams_points(out, scene)
+        exports.write_point_cloud(os.path.join(out, "cloud.txt"), scene)
+        names = {i: str(int(slam.cam_ids[k])).zfill(6)
+                 for k, i in enumerate(scene.registered)}
+        principal = {i: (slam.cx, slam.cy) for i in scene.registered}
+        sizes = {i: (int(2 * slam.cx), int(2 * slam.cy))
+                 for i in scene.registered}
+        exports.write_qin(os.path.join(out, "pose.qin"), scene, names,
+                          cols=int(2 * slam.cx), rows=int(2 * slam.cy))
+        exports.write_sure(os.path.join(out, "sfm_sure.txt"), scene, names,
+                           principal, sizes)
+        exports.write_openmvs(os.path.join(out, "sfm_openmvs.txt"), scene,
+                              self.kp_xy, names, principal, sizes)
+        # gps_pos.txt overlay (ref :1885-1905)
+        with open(os.path.join(out, "gps_pos.txt"), "w") as f:
+            import jax.numpy as jnp
+            from ..ops import projection
+            for k, img in enumerate(scene.registered):
+                c = np.asarray(projection.camera_center(
+                    jnp.asarray(scene.poses[img], jnp.float32)))
+                c = self.convert_to_gps(c)
+                g = self.convert_to_gps(self._cams_gps_centered[k])
+                f.write(f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f} "
+                        f"{g[0]:.4f} {g[1]:.4f} {g[2]:.4f}\n")

@@ -55,4 +55,6 @@ def shard_tracks(problem, mesh: Mesh, axis_name: str = "data"):
         pose_mut=place(problem.pose_mut, False),
         intr_mut=place(problem.intr_mut, False),
         point_mut=place(problem.point_mut, True),
+        gps_pos=place(problem.gps_pos, False),
+        gps_weight=place(problem.gps_weight, False),
     )
