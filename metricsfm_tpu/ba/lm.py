@@ -111,11 +111,59 @@ def gps_residuals(problem: BAProblem):
     return problem.gps_weight * (centers - problem.gps_pos)
 
 
+def pose_prior_residuals(problem: BAProblem):
+    """Full-pose prior residuals (C, 6) (ref cam_error_pose_absolute.h)."""
+    return problem.pose_prior_weight * (problem.poses - problem.pose_prior)
+
+
 def problem_cost(problem: BAProblem, huber_delta: float):
     reproj = robust_cost(compute_residuals(problem), problem.track_mask,
                          huber_delta)
     rg = gps_residuals(problem)
-    return reproj + 0.5 * jnp.sum(rg * rg)
+    rp = pose_prior_residuals(problem)
+    return reproj + 0.5 * jnp.sum(rg * rg) + 0.5 * jnp.sum(rp * rp)
+
+
+def _inv3x3(A, eps=1e-12):
+    """Closed-form batched 3x3 inverse (adjugate/det) — the batched LAPACK
+    path is orders of magnitude slower on TPU for tiny matrices."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < eps, eps, det)
+    rows = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return rows / det[..., None, None]
+
+
+def _chol3x3(A, eps=1e-12):
+    """Closed-form batched 3x3 Cholesky (lower)."""
+    a11 = jnp.maximum(A[..., 0, 0], eps)
+    l11 = jnp.sqrt(a11)
+    l21 = A[..., 1, 0] / l11
+    l31 = A[..., 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, eps))
+    l32 = (A[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, eps))
+    z = jnp.zeros_like(l11)
+    return jnp.stack([
+        jnp.stack([l11, z, z], axis=-1),
+        jnp.stack([l21, l22, z], axis=-1),
+        jnp.stack([l31, l32, l33], axis=-1),
+    ], axis=-2)
 
 
 def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
@@ -126,6 +174,13 @@ def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
     (SURVEY.md §2.11): shards psum their (S_raw, rhs_raw) over ICI and each
     chip solves the (replicated) reduced system, keeping point elimination
     and back-substitution fully local.
+
+    Aggregation strategy: everything indexed by camera/model is gathered
+    with ONE-HOT MATMULS on the MXU (einsum against (P,V,C) / (P,V,M)
+    indicator tensors), not scatter/segment ops — on TPU the scatters were
+    >100x slower than the equivalent matmuls.  The Schur product itself is
+    a single (6C+3M, 3P)x(3P, 6C+3M) matmul via the G = one_hot . W . chol
+    factor.
 
     Returns (S_raw, rhs_raw, aux): the *undamped, unmasked* camera system
     partials plus per-track tensors needed for back-substitution.
@@ -146,38 +201,37 @@ def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
     cam = problem.track_cam            # (P,V)
     model = problem.cam_model[cam]     # (P,V)
 
-    # per-view 9-dof camera jacobian [pose | intr]
-    Jc = jnp.concatenate([Jpo, Jin], axis=-1)          # (P,V,2,9)
+    # one-hot aggregation operands (bf16 indicators, f32 accumulation)
+    O_cam = jax.nn.one_hot(cam, C, dtype=dtype)          # (P,V,C)
+    O_mod = jax.nn.one_hot(model, M, dtype=dtype)        # (P,V,M)
 
     # ---- gradient ----
     g_pose = jnp.einsum("pvri,pvr->pvi", Jpo, r)        # (P,V,6)
     g_intr = jnp.einsum("pvri,pvr->pvi", Jin, r)        # (P,V,3)
     g_pt = jnp.einsum("pvri,pvr->pi", Jpt, r)           # (P,3)
-    gc_pose = jax.ops.segment_sum(g_pose.reshape(-1, 6), cam.reshape(-1), C)
-    gc_intr = jax.ops.segment_sum(g_intr.reshape(-1, 3), model.reshape(-1), M)
+    gc_pose = jnp.einsum("pvc,pvi->ci", O_cam, g_pose)  # (C,6)
+    gc_intr = jnp.einsum("pvm,pvi->mi", O_mod, g_intr)  # (M,3)
     g_cam = jnp.concatenate([gc_pose.reshape(-1), gc_intr.reshape(-1)])  # (D,)
 
-    # ---- point blocks ----
+    # ---- point blocks (closed-form 3x3 ops) ----
     Hpp = jnp.einsum("pvri,pvrj->pij", Jpt, Jpt)        # (P,3,3)
     diag_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
-    # Marquardt damping on the diagonal:
-    Hpp_d = Hpp.at[:, jnp.arange(3), jnp.arange(3)].add(
-        lam * jnp.maximum(diag_pp, 1e-12) + 1e-12)
+    damp = lam * jnp.maximum(diag_pp, 1e-12) + 1e-12
+    Hpp_d = Hpp + damp[..., None] * jnp.eye(3, dtype=dtype)
     # frozen points: make block identity so inverse is benign; d_pt forced 0 later
     pm = problem.point_mut[:, None, None]
     Hpp_d = Hpp_d * pm + jnp.eye(3, dtype=dtype)[None] * (1.0 - pm)
-    Hpp_inv = jnp.linalg.inv(Hpp_d)                      # (P,3,3)
+    Hpp_inv = _inv3x3(Hpp_d)                             # (P,3,3)
 
-    # ---- camera block-diagonals ----
-    Hpose = jnp.einsum("pvri,pvrj->pvij", Jpo, Jpo).reshape(-1, 6, 6)
-    Hintr = jnp.einsum("pvri,pvrj->pvij", Jin, Jin).reshape(-1, 3, 3)
-    Hpi = jnp.einsum("pvri,pvrj->pvij", Jpo, Jin).reshape(-1, 6, 3)
-    Hcc_pose = jax.ops.segment_sum(Hpose, cam.reshape(-1), C)   # (C,6,6)
-    Hcc_intr = jax.ops.segment_sum(Hintr, model.reshape(-1), M)  # (M,3,3)
-    Hcc_pi = jax.ops.segment_sum(Hpi, cam.reshape(-1), C)        # (C,6,3)
+    # ---- camera block-diagonals (one-hot matmuls) ----
+    Hpose = jnp.einsum("pvri,pvrj->pvij", Jpo, Jpo)
+    Hintr = jnp.einsum("pvri,pvrj->pvij", Jin, Jin)
+    Hpi = jnp.einsum("pvri,pvrj->pvij", Jpo, Jin)
+    Hcc_pose = jnp.einsum("pvc,pvij->cij", O_cam, Hpose)   # (C,6,6)
+    Hcc_intr = jnp.einsum("pvm,pvij->mij", O_mod, Hintr)   # (M,3,3)
+    Hcc_pi = jnp.einsum("pvc,pvij->cij", O_cam, Hpi)       # (C,6,3)
 
     S = jnp.zeros((D, D), dtype)
-    # place pose-pose blocks on diagonal
     pose_rows = (6 * jnp.arange(C)[:, None] + jnp.arange(6)[None, :])  # (C,6)
     S = S.at[pose_rows[:, :, None], pose_rows[:, None, :]].add(Hcc_pose)
     intr_rows = 6 * C + 3 * jnp.arange(M)[:, None] + jnp.arange(3)[None, :]
@@ -188,28 +242,41 @@ def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
         jnp.swapaxes(Hcc_pi, -1, -2))
 
     # ---- Schur subtraction: S -= sum_p E_p Hpp_inv E_p^T ----
-    # W (P,V,9,3) = Jc^T Jpt per view; mutable points only.
-    W = jnp.einsum("pvri,pvrj->pvij", Jc, Jpt)          # (P,V,9,3)
+    # W (P,V,9,3) = [Jpose|Jintr]^T Jpt per view; mutable points only.
+    Jc = jnp.concatenate([Jpo, Jin], axis=-1)            # (P,V,2,9)
+    W = jnp.einsum("pvri,pvrj->pvij", Jc, Jpt)           # (P,V,9,3)
     W = W * problem.point_mut[:, None, None, None]
-    WHinv = jnp.einsum("pvij,pjk->pvik", W, Hpp_inv)     # (P,V,9,3)
-    # dof index map per view: rows 0-5 pose dofs, 6-8 intr dofs
-    dof_pose = 6 * cam[..., None] + jnp.arange(6)[None, None, :]       # (P,V,6)
-    dof_intr = 6 * C + 3 * model[..., None] + jnp.arange(3)[None, None, :]
-    dofs = jnp.concatenate([dof_pose, dof_intr], axis=-1)              # (P,V,9)
 
-    def subtract_pair(S, v1):
-        # contribution of view-slot v1 against all view slots v2 (scan body)
-        Yv = jnp.einsum("pik,pvjk->pvij", WHinv[:, v1], W)  # (P,V,9,9)
-        rows = dofs[:, v1, :]                               # (P,9)
-        S = S.at[rows[:, None, :, None], dofs[:, :, None, :]].add(-Yv)
-        return S, None
-
-    S, _ = jax.lax.scan(subtract_pair, S, jnp.arange(V))
+    # Factor Hpp_inv = L L^T; fold the view->dof one-hots into per-point
+    # factors G so the whole Schur product is one big MXU matmul:
+    #   G_pose (P,C,6,3) = sum_v O_cam . W_pose . L
+    #   G_intr (P,M,3,3) = sum_v O_mod . W_intr . L
+    #   Schur  = [G_pose|G_intr] [G_pose|G_intr]^T contracted over (p, k).
+    Lp = _chol3x3(Hpp_inv)                               # (P,3,3)
+    U = jnp.einsum("pvij,pjk->pvik", W, Lp)              # (P,V,9,3)
+    G_pose = jnp.einsum("pvc,pvik->pcik", O_cam, U[:, :, :6, :])  # (P,C,6,3)
+    G_intr = jnp.einsum("pvm,pvik->pmik", O_mod, U[:, :, 6:, :])  # (P,M,3,3)
+    S_pp = jnp.einsum("pcik,pdjk->cidj", G_pose, G_pose).reshape(6 * C, 6 * C)
+    S_pi = jnp.einsum("pcik,pmjk->cimj", G_pose, G_intr).reshape(6 * C, 3 * M)
+    S_ii = jnp.einsum("pmik,pnjk->minj", G_intr, G_intr).reshape(3 * M, 3 * M)
+    schur = jnp.concatenate([
+        jnp.concatenate([S_pp, S_pi], axis=1),
+        jnp.concatenate([S_pi.T, S_ii], axis=1),
+    ], axis=0)
+    S = S - schur
 
     # ---- rhs: -(g_cam - E Hpp_inv g_pt) ----
     y = jnp.einsum("pij,pj->pi", Hpp_inv, g_pt)          # (P,3)
     corr = jnp.einsum("pvij,pj->pvi", W, y)              # (P,V,9)
-    rhs = -g_cam + jax.ops.segment_sum(corr.reshape(-1), dofs.reshape(-1), D)
+    corr_pose = jnp.einsum("pvc,pvi->ci", O_cam, corr[..., :6])
+    corr_intr = jnp.einsum("pvm,pvi->mi", O_mod, corr[..., 6:])
+    rhs = -g_cam + jnp.concatenate([corr_pose.reshape(-1),
+                                    corr_intr.reshape(-1)])
+
+    # dof index map per view (for back-substitution gathers)
+    dof_pose = 6 * cam[..., None] + jnp.arange(6)[None, None, :]       # (P,V,6)
+    dof_intr = 6 * C + 3 * model[..., None] + jnp.arange(3)[None, None, :]
+    dofs = jnp.concatenate([dof_pose, dof_intr], axis=-1)              # (P,V,9)
 
     aux = {"Hpp_inv": Hpp_inv, "W": W, "dofs": dofs, "g_pt": g_pt}
     return S, rhs, aux
@@ -237,6 +304,14 @@ def solve_reduced(S, rhs, problem: BAProblem, lam, cfg: LMConfig):
     pose_rows = 6 * jnp.arange(C)[:, None] + jnp.arange(6)[None, :]
     S = S.at[pose_rows[:, :, None], pose_rows[:, None, :]].add(Hg)
     rhs = rhs - jnp.concatenate([gg.reshape(-1),
+                                 jnp.zeros((3 * M,), rhs.dtype)])
+
+    # ---- full-pose priors (diagonal in pose dofs) ----
+    rp = pose_prior_residuals(problem)                 # (C,6)
+    wp = problem.pose_prior_weight
+    S = S.at[pose_rows.reshape(-1), pose_rows.reshape(-1)].add(
+        (wp * wp).reshape(-1))
+    rhs = rhs - jnp.concatenate([(wp * rp).reshape(-1),
                                  jnp.zeros((3 * M,), rhs.dtype)])
 
     # ---- damping + mutability on camera system ----

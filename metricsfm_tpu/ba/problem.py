@@ -44,6 +44,10 @@ class BAProblem(NamedTuple):
     # Per-axis weights express the reference's z/5 down-weighting.
     gps_pos: jnp.ndarray      # (C, 3) UTM-offset anchor positions
     gps_weight: jnp.ndarray   # (C, 3) per-axis residual weights
+    # Full 6-dof pose priors (ref cam_error_pose_absolute.h, available but
+    # off by default): residual pose_prior_weight * (pose - pose_prior).
+    pose_prior: jnp.ndarray        # (C, 6)
+    pose_prior_weight: jnp.ndarray  # (C, 6)
 
     @property
     def n_cameras(self):
@@ -72,6 +76,7 @@ class BAProblem(NamedTuple):
 def build_problem(poses, intrs, cam_model, points, track_cam, track_uv,
                   track_mask, track_weight=None, pose_mut=None, intr_mut=None,
                   point_mut=None, gps_pos=None, gps_weight=None,
+                  pose_prior=None, pose_prior_weight=None,
                   dtype=jnp.float32) -> BAProblem:
     """Assemble a BAProblem from host arrays, filling default masks."""
     poses = jnp.asarray(poses, dtype)
@@ -96,6 +101,9 @@ def build_problem(poses, intrs, cam_model, points, track_cam, track_uv,
         point_mut=jnp.ones((P,), dtype) if point_mut is None else jnp.asarray(point_mut, dtype),
         gps_pos=jnp.zeros((C, 3), dtype) if gps_pos is None else jnp.asarray(gps_pos, dtype),
         gps_weight=jnp.zeros((C, 3), dtype) if gps_weight is None else jnp.asarray(gps_weight, dtype),
+        pose_prior=jnp.zeros((C, 6), dtype) if pose_prior is None else jnp.asarray(pose_prior, dtype),
+        pose_prior_weight=jnp.zeros((C, 6), dtype) if pose_prior_weight is None
+        else jnp.asarray(pose_prior_weight, dtype),
     )
 
 

@@ -57,4 +57,6 @@ def shard_tracks(problem, mesh: Mesh, axis_name: str = "data"):
         point_mut=place(problem.point_mut, True),
         gps_pos=place(problem.gps_pos, False),
         gps_weight=place(problem.gps_weight, False),
+        pose_prior=place(problem.pose_prior, False),
+        pose_prior_weight=place(problem.pose_prior_weight, False),
     )

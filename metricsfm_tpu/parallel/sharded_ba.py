@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ba.lm import (LMConfig, backsub_points, gps_residuals,
-                     partial_camera_system, robust_cost, solve_reduced,
-                     compute_residuals)
+                     partial_camera_system, pose_prior_residuals,
+                     robust_cost, solve_reduced, compute_residuals)
 from ..ba.problem import BAProblem
 
 
@@ -34,9 +34,10 @@ def _local_cost(problem: BAProblem, huber_delta, axis_name):
     r = compute_residuals(problem)
     c = robust_cost(r, problem.track_mask, huber_delta)
     c = jax.lax.psum(c, axis_name)
-    # GPS anchors are camera-indexed (replicated): add once, after the psum
+    # camera-indexed terms are replicated: add once, after the psum
     rg = gps_residuals(problem)
-    return c + 0.5 * jnp.sum(rg * rg)
+    rp = pose_prior_residuals(problem)
+    return c + 0.5 * jnp.sum(rg * rg) + 0.5 * jnp.sum(rp * rp)
 
 
 def _make_step(cfg: LMConfig, axis_name: str):
@@ -100,7 +101,8 @@ def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
         poses=repl, intrs=repl, cam_model=repl, points=track,
         track_cam=track, track_uv=track, track_mask=track,
         track_weight=track, pose_mut=repl, intr_mut=repl, point_mut=track,
-        gps_pos=repl, gps_weight=repl)
+        gps_pos=repl, gps_weight=repl, pose_prior=repl,
+        pose_prior_weight=repl)
     info_spec = {"initial_cost": repl, "final_cost": repl,
                  "iterations": repl, "lambda": repl, "converged": repl}
 

@@ -12,20 +12,30 @@ from metricsfm_tpu.ops import sgm
 
 
 def textured_scene(rng, H=96, W=160, max_disp=24):
-    """Random texture + piecewise-constant disparity; right = warped left."""
-    tex = rng.uniform(0, 1, size=(H, W + max_disp)).astype(np.float32)
+    """Random texture + piecewise-constant disparity; right built by forward
+    warping the left (left pixel x appears at right pixel x - d)."""
+    tex = rng.uniform(0, 1, size=(H, W)).astype(np.float32)
     # smooth the texture a little so census windows are informative
     k = np.ones(3) / 3
     for ax in (0, 1):
         tex = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), ax, tex)
     disp = np.full((H, W), 6.0, np.float32)
     disp[H // 3: 2 * H // 3, W // 4: 3 * W // 4] = 16.0   # foreground block
-    left = tex[:, max_disp:max_disp + W]
+    left = tex
     right = np.zeros_like(left)
-    xs = np.arange(W)
     for y in range(H):
-        src = max_disp + xs - disp[y].astype(int)
-        right[y] = tex[y, src]
+        filled = np.zeros(W, bool)
+        for x in range(W):
+            xr = x - int(disp[y, x])
+            if 0 <= xr < W:
+                right[y, xr] = left[y, x]
+                filled[xr] = True
+        last = left[y, 0]
+        for x in range(W):
+            if filled[x]:
+                last = right[y, x]
+            else:
+                right[y, x] = last
     return left, right, disp
 
 
