@@ -30,7 +30,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ba import LMConfig, solve_lm
 from ..ba import problem as ba_problem
-from ..ops import epipolar, pnp, projection, ransac, triangulation
+from ..ops import epipolar, five_point, pnp, projection, ransac, triangulation
 from .scene import CameraModel, Scene, bucket
 
 
@@ -130,7 +130,16 @@ class IncrementalSfM:
             fi.focal_exif > 0 and fj.focal_exif > 0)
         if calibrated:
             f1 = f2 = float(fi.focal_exif or fi.f_hint)
-            res = epipolar.relative_pose_known_focal(p1, p2, f1, f2)
+            # 5-point RANSAC (planar-safe, matches the reference's calibrated
+            # path essential_matrix_five_point.cc); falls back to the 8pt-E
+            # estimate if too few RANSAC inliers survive
+            res5 = five_point.relative_pose_known_focal_5pt(
+                p1, p2, f1, f2, self._next_key(),
+                num_hypotheses=self.cfg.sfm.ransac_5pt_iters)
+            if bool(res5["ok"]):
+                res = res5
+            else:
+                res = epipolar.relative_pose_known_focal(p1, p2, f1, f2)
         else:
             res = epipolar.relative_pose_unknown_focal(p1, p2)
             if not bool(res["valid"]):

@@ -265,6 +265,129 @@ def pnp_ransac(Xw, obs_px, f, key, mask=None, num_hypotheses: int = 256,
             "n_inliers": n, "avg_err": avg}
 
 
+def p4pf(Xw, obs_px, f_hyp, num_focal_samples: int = 128,
+         newton_iters: int = 6, f_lo: float = 0.3, f_hi: float = 5.0):
+    """Pose + focal from exactly 4 points (ref absolute_pose_via_p4pf.{h,cc}).
+
+    The reference uses a 903-line generated Groebner-basis template
+    (p4pf_helper.cc); on TPU a batched focal sweep is the hardware-matched
+    equivalent: P3P (Grunert quartic) on points 0..2 for every focal sample
+    at once, scored by the 4th point's reprojection, then Newton-polished on
+    log f.  Same minimal-input capability, no generated code.
+
+    Args:
+      Xw: (4, 3) world points; obs_px: (4, 2) centered pixels.
+      f_hyp: focal hypothesis (e.g. 1.2 * max(w, h)).
+    Returns:
+      dict R (3,3), t (3,), f (), err4 () 4th-point reproj err px, valid ().
+    """
+    fs = f_hyp * jnp.exp(jnp.linspace(jnp.log(f_lo), jnp.log(f_hi),
+                                      num_focal_samples))
+
+    def err_for_f(f):
+        bear = jnp.concatenate([obs_px[:3] / f,
+                                jnp.ones_like(obs_px[:3, :1])], axis=-1)
+        bear = bear / jnp.linalg.norm(bear, axis=-1, keepdims=True)
+        R, t, valid = p3p_grunert(Xw[:3], bear)        # (4,3,3),(4,3),(4,)
+        e4 = reproj_errors_px(R, t, f, Xw[3:4], obs_px[3:4])[:, 0]
+        e4 = jnp.where(valid, e4, jnp.inf)
+        b = jnp.argmin(e4)
+        return e4[b], R[b], t[b]
+
+    e4s, Rs, ts = jax.vmap(err_for_f)(fs)
+    bi = jnp.argmin(e4s)
+
+    # Newton on log f: minimize 4th-point error via central differences
+    def newton(_, lf):
+        h = 1e-3
+        e0, _, _ = err_for_f(jnp.exp(lf - h))
+        e1, _, _ = err_for_f(jnp.exp(lf))
+        e2, _, _ = err_for_f(jnp.exp(lf + h))
+        g = (e2 - e0) / (2 * h)
+        H = (e2 - 2 * e1 + e0) / (h * h)
+        step = jnp.where(H > 1e-9, g / H, 0.0)
+        return lf - jnp.clip(step, -0.2, 0.2)
+
+    lf = jax.lax.fori_loop(0, newton_iters, newton, jnp.log(fs[bi]))
+    f_fin = jnp.exp(lf)
+    e4, R_fin, t_fin = err_for_f(f_fin)
+    better = e4 < e4s[bi]
+    f_fin = jnp.where(better, f_fin, fs[bi])
+    R_fin = jnp.where(better, R_fin, Rs[bi])
+    t_fin = jnp.where(better, t_fin, ts[bi])
+    e_fin = jnp.minimum(e4, e4s[bi])
+    return {"R": R_fin, "t": t_fin, "f": f_fin, "err4": e_fin,
+            "valid": jnp.isfinite(e_fin)}
+
+
+def p3pf(Xw, obs_px, f_hyp, num_focal_samples: int = 128,
+         f_lo: float = 0.3, f_hi: float = 5.0):
+    """Pose + focal candidates from 3 points (ref absolute_pose_via_p3pf.{h,cc}).
+
+    3 points underdetermine (pose, focal); like the reference, returns the
+    candidate set over the focal sweep — callers disambiguate with extra
+    correspondences (RANSAC scoring).
+    Returns dict R (S,4,3,3), t (S,4,3), f (S,), valid (S,4).
+    """
+    fs = f_hyp * jnp.exp(jnp.linspace(jnp.log(f_lo), jnp.log(f_hi),
+                                      num_focal_samples))
+
+    def solve_f(f):
+        bear = jnp.concatenate([obs_px / f, jnp.ones_like(obs_px[:, :1])],
+                               axis=-1)
+        bear = bear / jnp.linalg.norm(bear, axis=-1, keepdims=True)
+        return p3p_grunert(Xw, bear)
+
+    R, t, valid = jax.vmap(solve_f)(fs)
+    return {"R": R, "t": t, "f": fs, "valid": valid}
+
+
+def dlt_oriented(R, Xw, obs_px, f=None, weights=None):
+    """Position (+ optional focal) given a known rotation.
+
+    Reference absolute_pose_via_dlt_oriented.{h,cc}: with R fixed (from
+    vanishing points / IMU), projection is *linear* in the remaining
+    unknowns.  Known f: 2N x 3 least squares for t.  Unknown f: substitute
+    s = f*t_xy so the system is linear in (f, s_x, s_y, t_z) — recover
+    t_xy = s / f.
+
+    Args:
+      R: (3, 3) world->camera rotation; Xw: (N, 3); obs_px: (N, 2).
+      f: known focal or None; weights: (N,) optional row weights.
+    Returns:
+      dict t (3,), f ().
+    """
+    Xc = jnp.einsum("ij,nj->ni", R, Xw)            # rotated points
+    u, v = obs_px[:, 0], obs_px[:, 1]
+    N = Xw.shape[0]
+    w = jnp.ones((N,), Xw.dtype) if weights is None else weights
+    zeros = jnp.zeros_like(u)
+    ones = jnp.ones_like(u)
+    if f is not None:
+        # f*(Xc_x + t_x) = u*(Xc_z + t_z)  ->  rows linear in t
+        A = jnp.concatenate([
+            jnp.stack([f * ones, zeros, -u], axis=-1),
+            jnp.stack([zeros, f * ones, -v], axis=-1)], axis=0)
+        b = jnp.concatenate([u * Xc[:, 2] - f * Xc[:, 0],
+                             v * Xc[:, 2] - f * Xc[:, 1]])
+        ww = jnp.concatenate([w, w])
+        AtA = (A * ww[:, None]).T @ A + 1e-9 * jnp.eye(3, dtype=Xw.dtype)
+        t = jnp.linalg.solve(AtA, (A * ww[:, None]).T @ b)
+        return {"t": t, "f": jnp.asarray(f, Xw.dtype)}
+    # unknowns (f, s_x, s_y, t_z): f*Xc_x + s_x - u*t_z = u*Xc_z
+    A = jnp.concatenate([
+        jnp.stack([Xc[:, 0], ones, zeros, -u], axis=-1),
+        jnp.stack([Xc[:, 1], zeros, ones, -v], axis=-1)], axis=0)
+    b = jnp.concatenate([u * Xc[:, 2], v * Xc[:, 2]])
+    ww = jnp.concatenate([w, w])
+    AtA = (A * ww[:, None]).T @ A + 1e-9 * jnp.eye(4, dtype=Xw.dtype)
+    x = jnp.linalg.solve(AtA, (A * ww[:, None]).T @ b)
+    f_est = x[0]
+    fsafe = jnp.where(jnp.abs(f_est) < _EPS, _EPS, f_est)
+    t = jnp.stack([x[1] / fsafe, x[2] / fsafe, x[3]])
+    return {"t": t, "f": f_est}
+
+
 @partial(jax.jit, static_argnames=("num_hypotheses", "num_focal_samples"))
 def pnp_ransac_unknown_focal(Xw, obs_px, f_hyp, key, mask=None,
                              num_hypotheses: int = 64,
