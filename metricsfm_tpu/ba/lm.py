@@ -116,12 +116,48 @@ def pose_prior_residuals(problem: BAProblem):
     return problem.pose_prior_weight * (problem.poses - problem.pose_prior)
 
 
+def _triple_residual(poses3, gps3, w2, eps=1e-8):
+    """(2,) GPS relative residuals for one camera triple (i, j, k).
+
+    Reference gps_error_pose_raletive_angle.h (triangle angle at the middle
+    camera) and gps_error_pose_raletive_dis.h (distance ratio), expressed as
+    smooth cosine / ratio differences.
+    """
+    c = jax.vmap(projection.camera_center)(poses3)      # (3,3)
+    v1 = c[0] - c[1]
+    v2 = c[2] - c[1]
+    # sqrt(|v|^2 + eps) keeps the jacfwd finite for degenerate (placeholder)
+    # triples where all three cameras coincide — norm() has a NaN gradient
+    # at 0, and 0-weight times NaN still poisons the normal equations
+    n1 = jnp.sqrt(jnp.dot(v1, v1) + eps)
+    n2 = jnp.sqrt(jnp.dot(v2, v2) + eps)
+    cos_est = jnp.dot(v1, v2) / (n1 * n2)
+    g1 = gps3[0] - gps3[1]
+    g2 = gps3[2] - gps3[1]
+    m1 = jnp.sqrt(jnp.dot(g1, g1) + eps)
+    m2 = jnp.sqrt(jnp.dot(g2, g2) + eps)
+    cos_gps = jnp.dot(g1, g2) / (m1 * m2)
+    ratio_est = n1 / n2
+    ratio_gps = m1 / m2
+    return jnp.stack([w2[0] * (cos_est - cos_gps),
+                      w2[1] * (ratio_est - ratio_gps)])
+
+
+def gps_triple_residuals(problem: BAProblem):
+    """(T, 2) relative GPS residuals over the configured camera triples."""
+    poses3 = problem.poses[problem.gps_triple]           # (T,3,6)
+    gps3 = problem.gps_pos[problem.gps_triple]           # (T,3,3)
+    return jax.vmap(_triple_residual)(poses3, gps3, problem.gps_triple_weight)
+
+
 def problem_cost(problem: BAProblem, huber_delta: float):
     reproj = robust_cost(compute_residuals(problem), problem.track_mask,
                          huber_delta)
     rg = gps_residuals(problem)
     rp = pose_prior_residuals(problem)
-    return reproj + 0.5 * jnp.sum(rg * rg) + 0.5 * jnp.sum(rp * rp)
+    rt = gps_triple_residuals(problem)
+    return (reproj + 0.5 * jnp.sum(rg * rg) + 0.5 * jnp.sum(rp * rp)
+            + 0.5 * jnp.sum(rt * rt))
 
 
 def _inv3x3(A, eps=1e-12):
@@ -313,6 +349,24 @@ def solve_reduced(S, rhs, problem: BAProblem, lam, cfg: LMConfig):
         (wp * wp).reshape(-1))
     rhs = rhs - jnp.concatenate([(wp * rp).reshape(-1),
                                  jnp.zeros((3 * M,), rhs.dtype)])
+
+    # ---- GPS relative (triple) constraints ----
+    def triple_rj(poses3, gps3, w2):
+        r = _triple_residual(poses3, gps3, w2)          # (2,)
+        J = jax.jacfwd(_triple_residual)(poses3, gps3, w2)  # (2,3,6)
+        return r, J
+
+    rt, Jt = jax.vmap(triple_rj)(problem.poses[problem.gps_triple],
+                                 problem.gps_pos[problem.gps_triple],
+                                 problem.gps_triple_weight)  # (T,2),(T,2,3,6)
+    Ht = jnp.einsum("trai,trbj->taibj", Jt, Jt)        # (T,3,6,3,6)
+    gt = jnp.einsum("trai,tr->tai", Jt, rt)            # (T,3,6)
+    trip_rows = 6 * problem.gps_triple[:, :, None] + jnp.arange(6)[None, None, :]  # (T,3,6)
+    for a in range(3):
+        rhs = rhs.at[trip_rows[:, a, :]].add(-gt[:, a, :])
+        for b in range(3):
+            S = S.at[trip_rows[:, a, :, None], trip_rows[:, b, None, :]].add(
+                Ht[:, a, :, b, :])
 
     # ---- damping + mutability on camera system ----
     diag = jnp.diagonal(S)

@@ -48,6 +48,13 @@ class BAProblem(NamedTuple):
     # off by default): residual pose_prior_weight * (pose - pose_prior).
     pose_prior: jnp.ndarray        # (C, 6)
     pose_prior_weight: jnp.ndarray  # (C, 6)
+    # GPS *relative* constraints over camera triples (i, j, k) — ref
+    # gps_error_pose_raletive_angle.h (triangle angle at j) and
+    # gps_error_pose_raletive_dis.h (distance ratio |ci-cj|/|cj-ck|),
+    # selected in slam_gps.cc:716-830 (off by default there too).
+    # Residuals: w0*(cos angle_est - cos angle_gps), w1*(ratio_est - ratio_gps).
+    gps_triple: jnp.ndarray        # (T, 3) int32 camera indices
+    gps_triple_weight: jnp.ndarray  # (T, 2) [angle_w, dist_w]; 0 disables
 
     @property
     def n_cameras(self):
@@ -77,6 +84,7 @@ def build_problem(poses, intrs, cam_model, points, track_cam, track_uv,
                   track_mask, track_weight=None, pose_mut=None, intr_mut=None,
                   point_mut=None, gps_pos=None, gps_weight=None,
                   pose_prior=None, pose_prior_weight=None,
+                  gps_triple=None, gps_triple_weight=None,
                   dtype=jnp.float32) -> BAProblem:
     """Assemble a BAProblem from host arrays, filling default masks."""
     poses = jnp.asarray(poses, dtype)
@@ -104,6 +112,11 @@ def build_problem(poses, intrs, cam_model, points, track_cam, track_uv,
         pose_prior=jnp.zeros((C, 6), dtype) if pose_prior is None else jnp.asarray(pose_prior, dtype),
         pose_prior_weight=jnp.zeros((C, 6), dtype) if pose_prior_weight is None
         else jnp.asarray(pose_prior_weight, dtype),
+        # one zero-weight placeholder triple keeps shapes static and nonzero
+        gps_triple=jnp.zeros((1, 3), jnp.int32) if gps_triple is None
+        else jnp.asarray(gps_triple, jnp.int32),
+        gps_triple_weight=jnp.zeros((1, 2), dtype) if gps_triple_weight is None
+        else jnp.asarray(gps_triple_weight, dtype),
     )
 
 

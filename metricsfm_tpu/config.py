@@ -103,6 +103,13 @@ class SLAMGPSOptions:
     resize_ratio: float = 0.5
     gps_weight_z_scale: float = 0.2     # z error down-weighted ×1/5 (gps_error_pose_absolute.h:41)
     ba_threads: int = 8                 # informational; TPU path is data-parallel
+    # GPS relative constraints over consecutive camera triples — off by
+    # default, as in the reference (slam_gps.cc:718-720 enables only the
+    # absolute term; the relative-angle/distance functors are
+    # gps_error_pose_raletive_angle.h / gps_error_pose_raletive_dis.h)
+    use_gps_relative: bool = False
+    gps_relative_angle_weight: float = 1.0
+    gps_relative_dist_weight: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -412,23 +412,63 @@ class IncrementalSfM:
                 removed += 1
         return removed
 
+    # -- checkpoint / resume (ref use_temp re-entry, sfm_incremental.cc:83-110,
+    #    WriteTempResultOut every 10 images :207-211) ----------------------
+    def _checkpoint_path(self, checkpoint_dir: str, model_idx: int) -> str:
+        import os
+        return os.path.join(checkpoint_dir, f"temp_result{model_idx}.npz")
+
+    def _write_checkpoint(self, checkpoint_dir: Optional[str],
+                          model_idx: int, scene: Scene):
+        if checkpoint_dir is None:
+            return
+        import os
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        path = self._checkpoint_path(checkpoint_dir, model_idx)
+        scene.save(path + ".tmp.npz")
+        os.replace(path + ".tmp.npz", path)
+
+    def _load_checkpoint(self, checkpoint_dir: Optional[str],
+                         model_idx: int) -> Optional[Scene]:
+        if checkpoint_dir is None:
+            return None
+        import os
+        path = self._checkpoint_path(checkpoint_dir, model_idx)
+        if not os.path.exists(path):
+            return None
+        return Scene.load(path)
+
     # -- main loop ---------------------------------------------------------
-    def run(self, max_models: int = 8, verbose: bool = False):
-        """Reconstruct one or more models (ref Run, :81-220)."""
+    def run(self, max_models: int = 8, verbose: bool = False,
+            checkpoint_dir: Optional[str] = None, resume: bool = False):
+        """Reconstruct one or more models (ref Run, :81-220).
+
+        With checkpoint_dir set, the model state is serialized every
+        cfg.sfm.checkpoint_every registered images (temp_result{N}.npz);
+        resume=True re-enters from the newest checkpoint of each model
+        instead of re-seeding (ref use_temp switch).
+        """
         remaining = set(self.features.keys())
         ranked = self._match_strength()
-        for _ in range(max_models):
-            scene = None
-            for s, i, j in ranked:
-                if i in remaining and j in remaining:
-                    scene = self._try_seed(i, j, remaining)
-                    if scene is not None:
-                        break
-            if scene is None:
-                break
-            remaining -= set(scene.registered)
-            for img in scene.registered:
-                scene.localization_failures.pop(img, None)
+        for model_idx in range(max_models):
+            scene = self._load_checkpoint(checkpoint_dir, model_idx) \
+                if resume else None
+            if scene is not None:
+                remaining -= set(scene.registered)
+                if verbose:
+                    print(f"resumed model {model_idx}: "
+                          f"{len(scene.registered)} images")
+            else:
+                for s, i, j in ranked:
+                    if i in remaining and j in remaining:
+                        scene = self._try_seed(i, j, remaining)
+                        if scene is not None:
+                            break
+                if scene is None:
+                    break
+                remaining -= set(scene.registered)
+                for img in scene.registered:
+                    scene.localization_failures.pop(img, None)
 
             step = 0
             while True:
@@ -446,6 +486,8 @@ class IncrementalSfM:
                 if step % self.cfg.sfm.th_step_full_bundle_adjustment == 0:
                     self._bundle(scene, full=True)
                 self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
+                if step % self.cfg.sfm.checkpoint_every == 0:
+                    self._write_checkpoint(checkpoint_dir, model_idx, scene)
                 if verbose:
                     print(f"+img {img}: {n_new} new pts, "
                           f"{scene.n_points()} total, {len(remaining)} left")
@@ -453,6 +495,7 @@ class IncrementalSfM:
             if len(scene.registered) > 2:
                 self._bundle(scene, full=True)
                 self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
+            self._write_checkpoint(checkpoint_dir, model_idx, scene)
             self.scenes.append(scene)
             if len(remaining) < 2:
                 break

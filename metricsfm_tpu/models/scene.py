@@ -221,3 +221,72 @@ class Scene:
             self.models[mi].k2 = float(intrs[rowm, 2])
         for row, ti in enumerate(index_maps["tracks"]):
             self.tracks[ti].xyz = points[row]
+
+    # -- checkpoint / resume (ref WriteTempResultOut/ReadTempResultIn,
+    #    sfm_incremental.cc:1465-1749) -----------------------------------
+    def save(self, path: str):
+        """Serialize the full model state to one .npz file.
+
+        The reference checkpoints cam models, cameras, points, observation
+        maps, and failure counters to temp_result{N}.txt every 10 images;
+        this is the columnar equivalent.
+        """
+        imgs = self.registered
+        obs_track, obs_img, obs_kp = [], [], []
+        for ti, t in enumerate(self.tracks):
+            for img, kp in t.obs.items():
+                obs_track.append(ti)
+                obs_img.append(img)
+                obs_kp.append(kp)
+        fail_imgs = np.asarray(sorted(self.localization_failures), np.int64)
+        np.savez_compressed(
+            path,
+            n_images=self.n_images,
+            idx_max=self.idx_max,
+            imgs=np.asarray(imgs, np.int64),
+            poses=np.stack([self.poses[i] for i in imgs]) if imgs else
+            np.zeros((0, 6)),
+            model_of_image=np.asarray([self.model_of_image[i] for i in imgs],
+                                      np.int64),
+            kp_counts=np.asarray([len(self.kp_to_track[i]) for i in imgs],
+                                 np.int64),
+            models=np.asarray([[m.f, m.k1, m.k2, m.f_hint,
+                                float(m.calibrated)] for m in self.models],
+                              np.float64).reshape(len(self.models), 5),
+            xyz=np.stack([t.xyz for t in self.tracks]) if self.tracks else
+            np.zeros((0, 3)),
+            is_bad=np.asarray([t.is_bad for t in self.tracks], bool),
+            obs_track=np.asarray(obs_track, np.int64),
+            obs_img=np.asarray(obs_img, np.int64),
+            obs_kp=np.asarray(obs_kp, np.int64),
+            fail_imgs=fail_imgs,
+            fail_counts=np.asarray([self.localization_failures[i]
+                                    for i in fail_imgs], np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Scene":
+        """Rebuild a Scene from a save() checkpoint."""
+        z = np.load(path)
+        scene = cls(int(z["n_images"]), int(z["idx_max"]))
+        for row in z["models"]:
+            scene.add_camera_model(CameraModel(
+                f=float(row[0]), k1=float(row[1]), k2=float(row[2]),
+                f_hint=float(row[3]), calibrated=bool(row[4])))
+        imgs = z["imgs"]
+        for r, img in enumerate(imgs):
+            scene.register_image(int(img), z["poses"][r],
+                                 int(z["model_of_image"][r]),
+                                 int(z["kp_counts"][r]))
+        xyz = z["xyz"]
+        is_bad = z["is_bad"]
+        obs_by_track: Dict[int, Dict[int, int]] = {}
+        for ti, img, kp in zip(z["obs_track"], z["obs_img"], z["obs_kp"]):
+            obs_by_track.setdefault(int(ti), {})[int(img)] = int(kp)
+        for ti in range(len(xyz)):
+            idx = scene.add_track(xyz[ti], obs_by_track.get(ti, {}))
+            if bool(is_bad[ti]):
+                scene.mark_bad(idx)
+        for img, cnt in zip(z["fail_imgs"], z["fail_counts"]):
+            scene.localization_failures[int(img)] = int(cnt)
+        return scene

@@ -25,6 +25,7 @@ import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
@@ -294,6 +295,19 @@ class SLAMGPS:
         prob = prob._replace(
             gps_pos=np.asarray(cams_gps, np.float32),
             gps_weight=np.asarray(gps_w, np.float32))
+        if self.cfg.slam.use_gps_relative and len(imgs) >= 3:
+            # consecutive keyframe triples (i-1, i, i+1), scaled like the
+            # absolute term (ref slam_gps.cc:824 weight heuristic)
+            trip = np.stack([np.arange(len(imgs) - 2),
+                             np.arange(1, len(imgs) - 1),
+                             np.arange(2, len(imgs))], axis=1)
+            tw = np.tile(np.array([[
+                w * self.cfg.slam.gps_relative_angle_weight,
+                w * self.cfg.slam.gps_relative_dist_weight]]),
+                (len(trip), 1))
+            prob = prob._replace(
+                gps_triple=jnp.asarray(trip, jnp.int32),
+                gps_triple_weight=jnp.asarray(tw, jnp.float32))
         lm_cfg = LMConfig(max_iterations=self.cfg.ba.max_iterations,
                           huber_delta=self.cfg.ba.huber_delta)
         prob, info = solve_lm(prob, lm_cfg)

@@ -59,4 +59,6 @@ def shard_tracks(problem, mesh: Mesh, axis_name: str = "data"):
         gps_weight=place(problem.gps_weight, False),
         pose_prior=place(problem.pose_prior, False),
         pose_prior_weight=place(problem.pose_prior_weight, False),
+        gps_triple=place(problem.gps_triple, False),
+        gps_triple_weight=place(problem.gps_triple_weight, False),
     )

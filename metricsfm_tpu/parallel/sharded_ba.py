@@ -25,8 +25,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ba.lm import (LMConfig, backsub_points, gps_residuals,
-                     partial_camera_system, pose_prior_residuals,
-                     robust_cost, solve_reduced, compute_residuals)
+                     gps_triple_residuals, partial_camera_system,
+                     pose_prior_residuals, robust_cost, solve_reduced,
+                     compute_residuals)
 from ..ba.problem import BAProblem
 
 
@@ -37,7 +38,9 @@ def _local_cost(problem: BAProblem, huber_delta, axis_name):
     # camera-indexed terms are replicated: add once, after the psum
     rg = gps_residuals(problem)
     rp = pose_prior_residuals(problem)
-    return c + 0.5 * jnp.sum(rg * rg) + 0.5 * jnp.sum(rp * rp)
+    rt = gps_triple_residuals(problem)
+    return (c + 0.5 * jnp.sum(rg * rg) + 0.5 * jnp.sum(rp * rp)
+            + 0.5 * jnp.sum(rt * rt))
 
 
 def _make_step(cfg: LMConfig, axis_name: str):
@@ -102,7 +105,7 @@ def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
         track_cam=track, track_uv=track, track_mask=track,
         track_weight=track, pose_mut=repl, intr_mut=repl, point_mut=track,
         gps_pos=repl, gps_weight=repl, pose_prior=repl,
-        pose_prior_weight=repl)
+        pose_prior_weight=repl, gps_triple=repl, gps_triple_weight=repl)
     info_spec = {"initial_cost": repl, "final_cost": repl,
                  "iterations": repl, "lambda": repl, "converged": repl}
 

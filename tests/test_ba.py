@@ -142,3 +142,36 @@ def test_seed_recovery_after_perturb(rng, key):
     pert = pert._replace(pose_mut=pose_mut, intr_mut=jnp.zeros_like(pert.intr_mut))
     out, info = solve_lm(pert, LMConfig(max_iterations=80))
     assert float(info["rms_px"]) < 0.5
+
+
+def test_gps_triple_constraints(scene, rng):
+    """GPS relative angle/distance-ratio residuals over camera triples
+    (ref gps_error_pose_raletive_angle.h / gps_error_pose_raletive_dis.h)."""
+    from metricsfm_tpu.ba.lm import gps_triple_residuals
+    from metricsfm_tpu.ops import projection
+
+    prob = scene_to_problem(scene)
+    C = prob.n_cameras
+    centers = np.asarray(jax.vmap(projection.camera_center)(prob.poses))
+    trip = np.stack([np.arange(C - 2), np.arange(1, C - 1),
+                     np.arange(2, C)], axis=1)
+    tw = np.ones((len(trip), 2), np.float32)
+
+    # gps = true camera centers -> residuals vanish at ground truth
+    p0 = prob._replace(gps_pos=jnp.asarray(centers, jnp.float32),
+                       gps_triple=jnp.asarray(trip, jnp.int32),
+                       gps_triple_weight=jnp.asarray(tw))
+    r0 = np.asarray(gps_triple_residuals(p0))
+    np.testing.assert_allclose(r0, 0.0, atol=1e-4)
+
+    # perturbed poses -> nonzero residuals, and LM with the constraints
+    # converges back to lower cost than without them
+    p_bad = perturb(p0, rng, sig_pose=0.03, sig_pt=0.0)
+    r_bad = np.asarray(gps_triple_residuals(p_bad))
+    assert np.abs(r_bad).max() > 1e-4
+
+    cfg = LMConfig(max_iterations=30)
+    out, info = solve_lm(p_bad, cfg)
+    r_fin = np.asarray(gps_triple_residuals(out))
+    assert np.abs(r_fin).max() < np.abs(r_bad).max() * 0.5
+    assert float(info["final_cost"]) < float(info["initial_cost"])

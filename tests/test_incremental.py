@@ -99,3 +99,40 @@ def test_incremental_shared_camera(rng):
     assert len(rec.registered) >= 4
     assert len(rec.models) == 1
     assert abs(rec.models[0].f - 900.0) / 900.0 < 0.1
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    """temp_result{N} checkpointing + re-entry (ref sfm_incremental.cc:83-110,
+    :207-211, :1465-1749)."""
+    import dataclasses
+    import glob
+
+    scene = make_scene(rng, n_cams=6, n_pts=250, focal=1100.0, noise_px=0.3)
+    feats, matches = build_inputs(scene, noise_px=0.3, rng=rng)
+    cfg = web_preset()
+    cfg = dataclasses.replace(cfg, sfm=dataclasses.replace(
+        cfg.sfm, checkpoint_every=2))
+    ckpt = str(tmp_path / "ck")
+    sfm = IncrementalSfM(feats, matches, cfg, seed=0)
+    out = sfm.run(max_models=1, checkpoint_dir=ckpt)
+    s1 = out[0]
+    assert len(s1.registered) == 6
+    files = glob.glob(ckpt + "/temp_result*.npz")
+    assert files, "checkpoint file written"
+
+    # round-trip fidelity
+    from metricsfm_tpu.models.scene import Scene
+    s2 = Scene.load(files[0])
+    assert s2.registered == s1.registered
+    assert s2.n_points() == s1.n_points()
+    np.testing.assert_allclose(s2.poses[s1.registered[1]],
+                               s1.poses[s1.registered[1]], rtol=1e-7)
+    assert len(s2.models) == len(s1.models)
+    assert abs(s2.models[0].f - s1.models[0].f) < 1e-9
+
+    # resume: a fresh driver re-enters from the checkpoint without
+    # re-seeding (everything registered -> no further work needed)
+    sfm2 = IncrementalSfM(feats, matches, cfg, seed=0)
+    out2 = sfm2.run(max_models=1, checkpoint_dir=ckpt, resume=True)
+    assert out2 and out2[0].registered == s1.registered
+    assert out2[0].n_points() == s1.n_points()
