@@ -66,7 +66,8 @@ def cmd_dense(args):
     from .config import DenseOptions
     from .models.dense import DenseReconstruction
 
-    dr = DenseReconstruction(DenseOptions(disp_size=args.disp))
+    dr = DenseReconstruction(DenseOptions(disp_size=args.disp,
+                                          method=args.method))
     dr.run(args.fold, pose_file=args.pose_file, verbose=True)
 
 
@@ -113,6 +114,7 @@ def main(argv=None):
     pd.add_argument("fold")
     pd.add_argument("--pose-file", default=None)
     pd.add_argument("--disp", type=int, default=128)
+    pd.add_argument("--method", choices=["sgm", "elas"], default="sgm")
     pd.set_defaults(fn=cmd_dense)
 
     pc = sub.add_parser("calib", help="video -> frames -> self-calibrating SfM")

@@ -115,6 +115,8 @@ class SLAMGPSOptions:
 @dataclass(frozen=True)
 class DenseOptions:
     """Dense stereo config (ref: basic_structs.h:238-242, dense_reconstruction.cc:154)."""
+    method: str = "sgm"                 # "sgm" (ref SGMDense) | "elas" (ref ELASDense)
+    elas_setting: str = "robotics"      # ELAS preset (ref elas.h ROBOTICS, dense_reconstruction.cc:236-239)
     disp_size: int = 128
     p1: int = 10
     p2: int = 120

@@ -2,9 +2,10 @@
 
 Re-design of the reference DenseReconstruction
 (SfM/src/dense_reconstruction.{h,cc}, SURVEY.md §3.5): reads a SURE-format
-pose file, epipolar-rectifies each consecutive pair, runs the XLA SGM
-backend (ops/sgm.py — replaces both CUDA libSGM and CPU ELAS), converts
-disparity -> depth -> world points, writes depth maps + cloud.
+pose file, epipolar-rectifies each consecutive pair, runs one of the two
+XLA stereo backends (ops/sgm.py for the CUDA libSGM path, ops/elas.py for
+the CPU ELAS path — DenseOptions.method), converts disparity -> depth ->
+world points, writes depth maps + cloud.
 
 Rectification is the linear (Fusiello) method: rotate both cameras onto a
 common frame whose x-axis is the baseline, warp via the induced
@@ -20,6 +21,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..config import DenseOptions
+from ..ops import elas as elas_ops
 from ..ops import sgm as sgm_ops
 
 
@@ -130,10 +132,17 @@ class DenseReconstruction:
                 a.K, a.R, a.t, b.K, b.R, b.t)
             r1 = warp_homography(img1, np.linalg.inv(H1))
             r2 = warp_homography(img2, np.linalg.inv(H2))
-            disp, valid = sgm_ops.stereo_sgm(
-                r1, r2, max_disp=self.opts.disp_size, p1=self.opts.p1,
-                p2=self.opts.p2, uniqueness=self.opts.uniqueness,
-                num_paths=self.opts.num_paths)
+            if self.opts.method == "elas":
+                ep = elas_ops.middlebury_params() \
+                    if self.opts.elas_setting == "middlebury" \
+                    else elas_ops.ElasParams()
+                disp, valid = elas_ops.stereo_elas(
+                    r1, r2, max_disp=self.opts.disp_size, params=ep)
+            else:
+                disp, valid = sgm_ops.stereo_sgm(
+                    r1, r2, max_disp=self.opts.disp_size, p1=self.opts.p1,
+                    p2=self.opts.p2, uniqueness=self.opts.uniqueness,
+                    num_paths=self.opts.num_paths)
             f_rect = float(Kn[0, 0])
             depth = sgm_ops.disparity_to_depth(
                 disp, f_rect, baseline, self.opts.depth_scale,

@@ -1,0 +1,308 @@
+"""ELAS-style dense stereo (support points + prior-guided MAP), XLA-native.
+
+Second dense backend alongside ops/sgm.py, re-designing the reference's CPU
+libelas (SfM/src/dense/libelas/src/elas.cpp, API include/elas.h:45-140:
+Sobel-descriptor support matching on a 5-px candidate grid -> Delaunay
+piecewise-linear disparity prior -> per-pixel MAP disparity with a
+Gaussian-plus-uniform prior -> L/R consistency + gap interpolation) as
+fixed-shape batched array ops:
+
+* descriptors: 3x3 Sobel responses gathered at 16 fixed offsets of the
+  5x5 neighbourhood (the reference's 16-byte descriptor,
+  src/descriptor.cpp) — one (H, W, 16) tensor per image.
+* support points: the candidate grid becomes a strided slice; matching is
+  a (Gy, Gx, D) SAD volume over rolled right-descriptors, with the
+  reference's uniqueness ratio (support_threshold=0.85), texture gate,
+  L/R consistency, and neighbourhood-consistency vote (incon_* params) as
+  masked reductions — no std::vector compaction.
+* prior: instead of host-side Delaunay triangulation (triangle.cpp), a
+  masked coarse-to-fine pyramid fill + Jacobi smoothing of the support
+  grid gives the same piecewise-smooth interpolant as dense ops, then
+  bilinear upsampling to full resolution.
+* dense MAP: energy(d) = beta * SAD(d) - log(gamma_floor +
+  exp(-(d - prior)^2 / 2 sigma^2)) evaluated for every disparity at once
+  (the reference evaluates a candidate set per pixel; the full volume is
+  the MXU/VPU-idiomatic equivalent), WTA + parabolic subpixel, then the
+  reference's postprocessing (lr_threshold=2 consistency, small-gap
+  interpolation, median).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ElasParams(NamedTuple):
+    """Mirrors Elas::parameters (elas.h:47-109), ROBOTICS defaults."""
+    support_threshold: float = 0.85
+    support_texture: float = 10.0
+    candidate_stepsize: int = 5
+    incon_window_size: int = 5
+    incon_threshold: float = 5.0
+    incon_min_support: int = 5
+    beta: float = 0.02
+    gamma: float = 3.0
+    sigma: float = 1.0
+    match_texture: float = 1.0
+    lr_threshold: float = 2.0
+    ipol_gap_width: int = 3
+
+
+def middlebury_params() -> ElasParams:
+    """MIDDLEBURY preset (elas.h:106-131): interpolate everything."""
+    return ElasParams(support_threshold=0.95, match_texture=0.0,
+                      ipol_gap_width=9)
+
+
+def _sobel(img):
+    """3x3 Sobel responses (dx, dy); edge-replicated borders so flat
+    regions stay zero at the image boundary."""
+    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    ky = kx.T
+    x = jnp.pad(img, 1, mode="edge")[None, None]
+    dx = jax.lax.conv_general_dilated(x, kx[None, None], (1, 1), "VALID")[0, 0]
+    dy = jax.lax.conv_general_dilated(x, ky[None, None], (1, 1), "VALID")[0, 0]
+    return dx, dy
+
+
+# 16 sample offsets in the 5x5 neighbourhood (ref descriptor.cpp layout:
+# 12 horizontal-gradient taps + 4 vertical-gradient taps).
+_DX_OFFS = [(-2, 0), (-1, -1), (-1, 1), (0, -2), (0, -1), (0, 0), (0, 0),
+            (0, 1), (0, 2), (1, -1), (1, 1), (2, 0)]
+_DY_OFFS = [(-1, 0), (0, -1), (0, 1), (1, 0)]
+
+
+def sobel_descriptor(img):
+    """(H, W) [0,1] image -> (H, W, 16) gradient descriptor.
+
+    Responses are scaled to the reference's saturated-uint8 convention
+    (descriptor.cpp stores sobel/4 clamped to 8 bits) so the ROBOTICS
+    beta/texture constants keep their meaning for [0,1] float inputs.
+    """
+    H, W = img.shape
+    dx, dy = _sobel(img * 255.0)
+    dx = jnp.clip(dx / 4.0, -128.0, 127.0)
+    dy = jnp.clip(dy / 4.0, -128.0, 127.0)
+    pdx = jnp.pad(dx, 2)
+    pdy = jnp.pad(dy, 2)
+    feats = [jax.lax.dynamic_slice(pdx, (2 + oy, 2 + ox), (H, W))
+             for oy, ox in _DX_OFFS]
+    feats += [jax.lax.dynamic_slice(pdy, (2 + oy, 2 + ox), (H, W))
+              for oy, ox in _DY_OFFS]
+    return jnp.stack(feats, axis=-1)
+
+
+def _sad_volume(desc_l, desc_r, max_disp: int):
+    """(H, W, D) sum-of-absolute-differences volume; out-of-range = big."""
+    H, W, _ = desc_l.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def per_d(d):
+        sad = jnp.sum(jnp.abs(desc_l - jnp.roll(desc_r, d, axis=1)), axis=-1)
+        return jnp.where(col >= d, sad, 1e9)
+
+    return jnp.stack([per_d(d) for d in range(max_disp)], axis=-1)
+
+
+def support_matches(desc_l, desc_r, max_disp: int, p: ElasParams):
+    """Support disparities on the candidate grid.
+
+    Returns (sup_disp (Gy, Gx), sup_valid (Gy, Gx)) where the grid strides
+    the image by candidate_stepsize (ref computeSupportMatches,
+    elas.cpp: grid matching + uniqueness + L/R + consistency vote).
+    """
+    s = p.candidate_stepsize
+    gl = desc_l[s // 2::s, s // 2::s]
+    gr = desc_r[s // 2::s, :]  # right rows at grid y, full x for shifting
+
+    Gy, Gx, F = gl.shape
+    H, W, _ = desc_l.shape
+    gx_cols = jnp.arange(s // 2, W, s)[:Gx]
+
+    # cost over all disparities for grid pixels: roll right desc rows
+    def per_d(d):
+        shifted = jnp.roll(gr, d, axis=1)[:, gx_cols]      # (Gy, Gx, F)
+        sad = jnp.sum(jnp.abs(gl - shifted), axis=-1)
+        return jnp.where(gx_cols[None, :] >= d, sad, 1e9)
+
+    cost = jnp.stack([per_d(d) for d in range(max_disp)], axis=-1)
+
+    best = jnp.argmin(cost, axis=-1)
+    c0 = jnp.min(cost, axis=-1)
+    d_idx = jnp.arange(max_disp)[None, None, :]
+    c1 = jnp.min(jnp.where(jnp.abs(d_idx - best[..., None]) <= 1, 1e9, cost),
+                 axis=-1)
+    uniq = c0 <= p.support_threshold * c1                  # ratio gate
+
+    texture = jnp.sum(jnp.abs(gl), axis=-1) > p.support_texture
+
+    # L/R check on the grid: right-image cost_r(x, d) = cost_l(x + d, d)
+    # evaluated on the same volume via index remap along the x axis.
+    xr = jnp.clip(gx_cols[None, :, None] + d_idx, 0, W - 1)
+    # map right-x back to nearest grid column
+    xr_col = jnp.clip((xr - s // 2) // s, 0, Gx - 1)
+    cost_r = jnp.take_along_axis(cost, jnp.broadcast_to(
+        xr_col, (Gy, Gx, max_disp)), axis=1)
+    best_r = jnp.argmin(cost_r, axis=-1)
+    col_r = jnp.clip((gx_cols[None, :] - s // 2 - best) // s + best // s, 0,
+                     Gx - 1)
+    dr_at = jnp.take_along_axis(best_r, jnp.clip(
+        (gx_cols[None, :] - best - s // 2) // s, 0, Gx - 1), axis=1)
+    del col_r
+    lr_ok = jnp.abs(best - dr_at) <= p.lr_threshold
+
+    valid = uniq & texture & lr_ok
+
+    # neighbourhood consistency vote (ref incon_*): within the
+    # incon_window_size grid window, require >= incon_min_support valid
+    # neighbours with |d - d_n| <= incon_threshold.
+    r = p.incon_window_size // 2
+    db = best.astype(jnp.float32)
+    pad_d = jnp.pad(db, r, constant_values=1e9)
+    pad_v = jnp.pad(valid, r, constant_values=False)
+    votes = jnp.zeros_like(db)
+    for oy in range(p.incon_window_size):
+        for ox in range(p.incon_window_size):
+            nd = jax.lax.dynamic_slice(pad_d, (oy, ox), (Gy, Gx))
+            nv = jax.lax.dynamic_slice(pad_v, (oy, ox), (Gy, Gx))
+            votes = votes + jnp.where(
+                nv & (jnp.abs(nd - db) <= p.incon_threshold), 1.0, 0.0)
+    valid = valid & (votes >= p.incon_min_support)
+    return db, valid
+
+
+def _masked_downsample(disp, valid):
+    """2x2 masked mean-pool; a cell is valid if any child is."""
+    Gy, Gx = disp.shape
+    gy, gx = (Gy + 1) // 2 * 2, (Gx + 1) // 2 * 2
+    d = jnp.pad(disp, ((0, gy - Gy), (0, gx - Gx)))
+    v = jnp.pad(valid, ((0, gy - Gy), (0, gx - Gx)))
+    d = d.reshape(gy // 2, 2, gx // 2, 2)
+    v = v.reshape(gy // 2, 2, gx // 2, 2).astype(d.dtype)
+    num = jnp.sum(d * v, axis=(1, 3))
+    den = jnp.sum(v, axis=(1, 3))
+    return num / jnp.maximum(den, 1.0), den > 0
+
+
+def fill_prior(sup_disp, sup_valid, smooth_iters: int = 8):
+    """Dense piecewise-smooth interpolation of sparse support disparities.
+
+    Replaces the reference's Delaunay triangulation + per-triangle planes
+    (computeDelaunayTriangulation/computeDisparityPlanes, elas.cpp) with a
+    coarse-to-fine masked pyramid fill + Jacobi relaxation — same
+    piecewise-smooth interpolant, expressed as dense image ops.
+    """
+    levels = [(sup_disp, sup_valid)]
+    d, v = sup_disp, sup_valid
+    while min(d.shape) > 2:
+        d, v = _masked_downsample(d, v)
+        levels.append((d, v))
+
+    # coarsest: fill unknowns with the global valid mean
+    d, v = levels[-1]
+    mean = jnp.sum(d * v) / jnp.maximum(jnp.sum(v), 1.0)
+    filled = jnp.where(v, d, mean)
+
+    for d, v in reversed(levels[:-1]):
+        up = jax.image.resize(filled, d.shape, "bilinear")
+        filled = jnp.where(v, d, up)
+        # Jacobi smoothing of the free cells only
+        def smooth(cur, _):
+            nb = (jnp.roll(cur, 1, 0) + jnp.roll(cur, -1, 0) +
+                  jnp.roll(cur, 1, 1) + jnp.roll(cur, -1, 1)) / 4.0
+            return jnp.where(v, cur, nb), None
+        filled, _ = jax.lax.scan(smooth, filled, None, length=smooth_iters)
+    return filled
+
+
+def _prior_energy(d_idx, prior, gamma: float, sigma: float):
+    """-log(uniform_floor + Gaussian) prior well (ref elas.cpp MAP term:
+    P(d) ~ gamma + exp(-(d - mu)^2 / (2 sigma^2)))."""
+    z = (d_idx - prior[..., None]) / sigma
+    return -jnp.log(gamma + jnp.exp(-0.5 * z * z))
+
+
+def _interpolate_gaps(disp, valid, gap: int, axis: int):
+    """Fill invalid runs of length <= gap where the flanking valid values
+    agree (ref gapInterpolation, elas.cpp): scan of limited shifts."""
+    d_lo = disp
+    ok_lo = valid
+    d_hi = disp
+    ok_hi = valid
+    for k in range(1, gap + 1):
+        sl = jnp.roll(disp, k, axis)
+        vl = jnp.roll(valid, k, axis)
+        d_lo = jnp.where(ok_lo, d_lo, sl)
+        ok_lo = ok_lo | vl
+        sh = jnp.roll(disp, -k, axis)
+        vh = jnp.roll(valid, -k, axis)
+        d_hi = jnp.where(ok_hi, d_hi, sh)
+        ok_hi = ok_hi | vh
+    agree = jnp.abs(d_lo - d_hi) <= 3.0
+    fill = jnp.minimum(d_lo, d_hi)
+    newd = jnp.where(~valid & ok_lo & ok_hi & agree, fill, disp)
+    newv = valid | (~valid & ok_lo & ok_hi & agree)
+    return newd, newv
+
+
+@partial(jax.jit, static_argnames=("max_disp", "params"))
+def stereo_elas(left, right, max_disp: int = 128,
+                params: ElasParams = ElasParams()):
+    """Full ELAS pipeline on a rectified pair (API mirrors Elas::process,
+    include/elas.h:142-152).
+
+    Args:
+      left, right: (H, W) float images in [0, 1].
+    Returns:
+      (disp (H, W) float32 with invalid = -1, valid (H, W) bool).
+    """
+    p = params
+    desc_l = sobel_descriptor(left)
+    desc_r = sobel_descriptor(right)
+
+    sup_d, sup_v = support_matches(desc_l, desc_r, max_disp, p)
+    prior_grid = fill_prior(sup_d, sup_v)
+    prior = jax.image.resize(prior_grid, left.shape, "bilinear")
+
+    cost = _sad_volume(desc_l, desc_r, max_disp)
+    d_idx = jnp.arange(max_disp, dtype=jnp.float32)
+    energy = p.beta * cost + _prior_energy(d_idx, prior, p.gamma, p.sigma)
+
+    best = jnp.argmin(energy, axis=-1)
+    # parabolic subpixel on the energy
+    bm = jnp.clip(best, 1, max_disp - 2)
+    em = jnp.take_along_axis(energy, (bm - 1)[..., None], -1)[..., 0]
+    ec = jnp.take_along_axis(energy, bm[..., None], -1)[..., 0]
+    ep = jnp.take_along_axis(energy, (bm + 1)[..., None], -1)[..., 0]
+    denom = em - 2 * ec + ep
+    off = jnp.where(jnp.abs(denom) > 1e-6,
+                    0.5 * (em - ep) / jnp.maximum(denom, 1e-6), 0.0)
+    disp_l = bm.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0)
+
+    texture = jnp.sum(jnp.abs(desc_l), axis=-1) > p.match_texture
+
+    # right disparity from the same volume: energy_r(x, d) = energy_l(x+d, d)
+    H, W = left.shape
+    x = jax.lax.broadcasted_iota(jnp.int32, (H, W, max_disp), 1)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (H, W, max_disp), 2)
+    energy_r = jnp.take_along_axis(energy, jnp.clip(x + dd, 0, W - 1), axis=1)
+    disp_r = jnp.argmin(energy_r, axis=-1).astype(jnp.float32)
+
+    xr = jnp.clip(x[..., 0] - jnp.round(disp_l).astype(jnp.int32), 0, W - 1)
+    dr = jnp.take_along_axis(disp_r, xr, axis=1)
+    lr_ok = jnp.abs(disp_l - dr) <= p.lr_threshold
+
+    valid = texture & lr_ok & (best > 0)
+    disp_l, valid = _interpolate_gaps(disp_l, valid, p.ipol_gap_width, axis=1)
+    disp_l, valid = _interpolate_gaps(disp_l, valid, p.ipol_gap_width, axis=0)
+
+    # 3x3 median (ref filter_median / approximated adaptive mean)
+    pad = jnp.pad(disp_l, 1, mode="edge")
+    stack = jnp.stack([jax.lax.dynamic_slice(pad, (dy, dx), (H, W))
+                       for dy in range(3) for dx in range(3)], axis=-1)
+    disp_l = jnp.sort(stack, axis=-1)[..., 4]
+
+    return jnp.where(valid, disp_l, -1.0), valid
