@@ -49,6 +49,9 @@ def cmd_sfm(args):
                               kp_xy, names, principal, sizes)
         exports.write_sure(os.path.join(fold, "sfm_sure.txt"), scene, names,
                            principal, sizes)
+        exports.write_undistorted_images(
+            os.path.join(fold, "undistort_images"), scene,
+            {i: db.image_paths[i] for i in scene.registered})
         print(f"model {k}: {len(scene.registered)} cams, "
               f"{scene.n_points()} points -> {fold}")
 

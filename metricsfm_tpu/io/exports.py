@@ -220,3 +220,60 @@ def write_accuracy(path: str, avg_err: float, mse: float, n_obs: int):
     """accuracy.txt (ref slam_gps.cc:1582)."""
     with open(path, "w") as f:
         f.write(f"{avg_err:.8f} {mse:.8f} {n_obs}\n")
+
+
+def undistort_image(img, f: float, k1: float, k2: float):
+    """Remove radial distortion from an image by inverse warping.
+
+    Each undistorted output pixel samples the distorted source at the
+    forward-distorted position r_d = r_u (1 + k1 r_u^2 + k2 r_u^4) in
+    normalized (centered, /f) coordinates — the model the whole pipeline
+    uses (ref SaveUndistortedImage, sfm_incremental.cc:1092-1146).
+
+    img: (H, W) or (H, W, C) float array. Returns same shape.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..ops.sift import _bilinear
+
+    arr = jnp.asarray(img, jnp.float32)
+    H, W = arr.shape[:2]
+    cx, cy = W / 2.0, H / 2.0
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    xn = (xs - cx) / f
+    yn = (ys - cy) / f
+    r2 = xn * xn + yn * yn
+    factor = 1.0 + r2 * (k1 + k2 * r2)
+    coords = jnp.stack([cx + f * xn * factor, cy + f * yn * factor], axis=-1)
+    if arr.ndim == 2:
+        return _bilinear(arr, coords)
+    return jnp.stack([_bilinear(arr[..., c], coords)
+                      for c in range(arr.shape[-1])], axis=-1)
+
+
+def write_undistorted_images(fold: str, scene, image_paths: Dict[int, str],
+                             verbose: bool = False):
+    """Save undistorted copies of the registered images (ref
+    SaveUndistortedImage: fold/undistort_images/, used before every MVS
+    export). Images whose file is missing are skipped; k1 = k2 = 0 copies
+    through the same resampling path for uniform output."""
+    import numpy as _np
+
+    os.makedirs(fold, exist_ok=True)
+    written = []
+    for img in scene.registered:
+        path = image_paths.get(img)
+        if path is None or not os.path.exists(path):
+            continue
+        from PIL import Image
+        src = _np.asarray(Image.open(path), dtype=_np.float32) / 255.0
+        m = scene.models[scene.model_of_image[img]]
+        out = _np.asarray(undistort_image(src, m.f, m.k1, m.k2))
+        out8 = _np.clip(out * 255.0 + 0.5, 0, 255).astype(_np.uint8)
+        dst = os.path.join(fold, os.path.basename(path))
+        Image.fromarray(out8).save(dst)
+        written.append(dst)
+        if verbose:
+            print(f"undistorted {path} -> {dst}")
+    return written

@@ -352,6 +352,26 @@ class SLAMGPS:
                            principal, sizes)
         exports.write_openmvs(os.path.join(out, "sfm_openmvs.txt"), scene,
                               self.kp_xy, names, principal, sizes)
+        # undistorted keyframe copies (ref SaveUndistortedImage call at
+        # slam_gps.cc:130-136); skips silently when image files are absent
+        rgb_file = os.path.join(fold, "rgb.txt")
+        frame_path: Dict[int, str] = {}
+        if os.path.exists(rgb_file):
+            with open(rgb_file) as f:
+                for line in f.read().splitlines()[3:]:
+                    parts = line.split()
+                    if len(parts) < 2:
+                        continue
+                    rel = parts[-1]
+                    stem = os.path.basename(rel).rsplit(".", 1)[0]
+                    try:
+                        frame_path[int(stem)] = os.path.join(fold, rel)
+                    except ValueError:
+                        pass
+        img_paths = {i: frame_path.get(int(slam.cam_ids[k]), "")
+                     for k, i in enumerate(scene.registered)}
+        exports.write_undistorted_images(
+            os.path.join(out, "undistort_images"), scene, img_paths)
         # gps_pos.txt overlay (ref :1885-1905)
         with open(os.path.join(out, "gps_pos.txt"), "w") as f:
             import jax.numpy as jnp

@@ -144,3 +144,54 @@ def test_tracer():
         pass
     assert tr.counts["a"] == 2
     assert "a" in tr.report()
+
+
+def test_undistort_image_inverts_distortion(rng):
+    """undistort_image recovers the ideal image from a synthetically
+    distorted one (ref SaveUndistortedImage warp semantics)."""
+    from metricsfm_tpu.io.exports import undistort_image
+
+    H, W, f = 80, 100, 120.0
+    k1, k2 = -0.15, 0.02
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    ideal = 0.5 + 0.25 * np.sin(xs * 0.35) + 0.25 * np.cos(ys * 0.3)
+
+    # build the distorted image: distorted pixel p_d samples the ideal
+    # image at its undistorted position (exact radial inverse)
+    cx, cy = W / 2.0, H / 2.0
+    xn = (xs - cx) / f
+    yn = (ys - cy) / f
+    xy_n = jnp.asarray(np.stack([xn, yn], -1).reshape(-1, 2))
+    xy_u = np.asarray(calibration.undistort_points_exact(
+        xy_n, jnp.float32(k1), jnp.float32(k2))).reshape(H, W, 2)
+    sx = cx + f * xy_u[..., 0]
+    sy = cy + f * xy_u[..., 1]
+    from metricsfm_tpu.ops.sift import _bilinear
+    distorted = np.asarray(_bilinear(jnp.asarray(ideal),
+                                     jnp.asarray(np.stack([sx, sy], -1))))
+
+    out = np.asarray(undistort_image(distorted, f, k1, k2))
+    err = np.abs(out - ideal)[10:-10, 10:-10]
+    assert np.median(err) < 0.01, np.median(err)
+
+
+def test_write_undistorted_images(tmp_path, rng):
+    from PIL import Image
+
+    from metricsfm_tpu.io.exports import write_undistorted_images
+    from metricsfm_tpu.models.scene import CameraModel, Scene
+
+    img = (rng.uniform(0, 1, size=(32, 40, 3)) * 255).astype(np.uint8)
+    src = str(tmp_path / "img0.png")
+    Image.fromarray(img).save(src)
+
+    scene = Scene(1, 1_000_000)
+    scene.add_camera_model(CameraModel(f=100.0, k1=0.0, k2=0.0,
+                                       f_hint=100.0, calibrated=True))
+    scene.register_image(0, np.zeros(6), 0, 10)
+    out = str(tmp_path / "und")
+    written = write_undistorted_images(out, scene, {0: src})
+    assert len(written) == 1
+    back = np.asarray(Image.open(written[0]), dtype=np.float32)
+    # zero distortion -> near-identity resample
+    assert np.abs(back[2:-2, 2:-2] - img[2:-2, 2:-2].astype(np.float32)).max() <= 1.5
