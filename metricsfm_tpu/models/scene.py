@@ -145,12 +145,18 @@ class Scene:
         """
         imgs = self.registered
         img_to_row = {im: i for i, im in enumerate(imgs)}
-        C = len(imgs)
+        # Camera and model axes are bucketed like the point axis: padded
+        # rows are frozen (pose_mut/intr_mut = 0) and unreferenced by any
+        # track, so solve_lm's freeze mask makes them inert — and the jit
+        # cache survives the one-image-per-step growth of the incremental
+        # loop instead of recompiling at every new C.
+        C = bucket(len(imgs), 8)
         live = [i for i, t in enumerate(self.tracks) if not t.is_bad]
         P = bucket(max(len(live), 1))
         V = max_views
 
-        poses = np.stack([self.poses[im] for im in imgs])
+        poses = np.zeros((C, 6))
+        poses[: len(imgs)] = np.stack([self.poses[im] for im in imgs])
         model_rows: Dict[int, int] = {}
         intrs_list = []
         cam_model = np.zeros(C, np.int32)
@@ -160,8 +166,9 @@ class Scene:
                 model_rows[mi] = len(intrs_list)
                 intrs_list.append(self.models[mi].as_array())
             cam_model[i] = model_rows[mi]
-        intrs = np.stack(intrs_list)
-        M = len(intrs_list)
+        M = bucket(len(intrs_list), 4)
+        intrs = np.tile(np.array([1.0, 0.0, 0.0]), (M, 1))
+        intrs[: len(intrs_list)] = np.stack(intrs_list)
 
         points = np.zeros((P, 3))
         track_cam = np.zeros((P, V), np.int32)
@@ -191,7 +198,9 @@ class Scene:
                 if ti not in mset:
                     point_mut[row] = 0.0
 
-        pose_mut = np.array([1.0 if im in mutable_img_set else 0.0 for im in imgs])
+        pose_mut = np.zeros(C)
+        pose_mut[: len(imgs)] = [1.0 if im in mutable_img_set else 0.0
+                                 for im in imgs]
         intr_mut = np.zeros(M)
         for mi, rowm in model_rows.items():
             intr_mut[rowm] = 0.0 if self.models[mi].calibrated else 1.0

@@ -292,9 +292,15 @@ class SLAMGPS:
         prob, maps = scene.to_ba_problem(
             self.kp_xy, max_views=16,
             mutable_images=imgs)  # no gauge freeze: GPS anchors fix it
-        prob = prob._replace(
-            gps_pos=np.asarray(cams_gps, np.float32),
-            gps_weight=np.asarray(gps_w, np.float32))
+        # pad camera-indexed arrays to the bucketed camera axis (padded
+        # rows have zero weight and contribute nothing)
+        Cp = prob.n_cameras
+        gps_pos_p = np.zeros((Cp, 3), np.float32)
+        gps_pos_p[: len(imgs)] = cams_gps
+        gps_w_p = np.zeros((Cp, 3), np.float32)
+        gps_w_p[: len(imgs)] = gps_w
+        prob = prob._replace(gps_pos=jnp.asarray(gps_pos_p),
+                             gps_weight=jnp.asarray(gps_w_p))
         if self.cfg.slam.use_gps_relative and len(imgs) >= 3:
             # consecutive keyframe triples (i-1, i, i+1), scaled like the
             # absolute term (ref slam_gps.cc:824 weight heuristic)
