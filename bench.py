@@ -89,6 +89,8 @@ def bench_matching(n_kp=4096, n_pairs=16, iters=8, use_pallas=True):
 
 def main():
     import jax
+    from metricsfm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ba_its = bench_ba()
     pairs_s = bench_matching()
     platform = jax.devices()[0].platform

@@ -100,6 +100,8 @@ def cmd_calib(args):
 
 
 def main(argv=None):
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="metricsfm_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

