@@ -18,19 +18,15 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..ops import lie, projection
+from ..ops import lie, np_geom, projection
 
 
 def _Rt(scene, img):
-    import jax.numpy as jnp
-    pose = jnp.asarray(scene.poses[img])
-    R, t = projection.pose_to_Rt(pose)
-    return np.asarray(R, np.float64), np.asarray(t, np.float64)
+    return np_geom.pose_to_Rt(scene.poses[img])
 
 
 def _center(scene, img):
-    import jax.numpy as jnp
-    return np.asarray(projection.camera_center(jnp.asarray(scene.poses[img])))
+    return np_geom.camera_center(scene.poses[img])
 
 
 def write_point_cloud(path: str, scene, colors: Optional[np.ndarray] = None,

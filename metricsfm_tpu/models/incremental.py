@@ -30,7 +30,8 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ba import LMConfig, solve_lm
 from ..ba import problem as ba_problem
-from ..ops import epipolar, five_point, pnp, projection, ransac, triangulation
+from ..ops import (epipolar, five_point, np_geom, pnp, projection, ransac,
+                   triangulation)
 from .scene import CameraModel, Scene, bucket
 
 
@@ -158,7 +159,7 @@ class IncrementalSfM:
             f=f2, f_hint=fj.f_hint, calibrated=calibrated))
         pose_i = np.zeros(6)
         R, t = np.asarray(res["R"]), np.asarray(res["t"])
-        pose_j = np.asarray(projection.pose_from_Rt(jnp.asarray(R), jnp.asarray(t)))
+        pose_j = np_geom.pose_from_Rt(R, t)
         scene.register_image(i, pose_i, mi0, len(fi.xy))
         scene.register_image(j, pose_j, mi1, len(fj.xy))
 
@@ -273,8 +274,8 @@ class IncrementalSfM:
                 scene.localization_failures.get(img, 0) + 1
             return False
 
-        pose = np.asarray(projection.pose_from_Rt(
-            jnp.asarray(res["R"]), jnp.asarray(res["t"])))
+        pose = np_geom.pose_from_Rt(np.asarray(res["R"]),
+                                    np.asarray(res["t"]))
         if shared:
             mi = 0
         else:

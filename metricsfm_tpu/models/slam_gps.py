@@ -218,11 +218,10 @@ class SLAMGPS:
     def _align_global(self, scene: Scene, cams_gps: np.ndarray, verbose):
         """Weighted similarity SLAM->GPS + offset demeaning (ref :1596-1674)."""
         import jax.numpy as jnp
-        from ..ops import projection
+        from ..ops import np_geom
 
-        centers = np.stack([
-            np.asarray(projection.camera_center(jnp.asarray(scene.poses[i])))
-            for i in scene.registered])
+        centers = np.stack([np_geom.camera_center(scene.poses[i])
+                            for i in scene.registered])
         w = turn_weights(cams_gps)
         if w.sum() < 1e-9:
             w = np.ones_like(w)
@@ -233,22 +232,17 @@ class SLAMGPS:
         s_, R_, t_ = float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
         # transform cameras and points
         for img in scene.registered:
-            pose = jnp.asarray(scene.poses[img], jnp.float32)
-            scene.poses[img] = np.asarray(projection.apply_similarity_to_pose(
-                pose, jnp.float32(s_), jnp.asarray(R_, jnp.float32),
-                jnp.asarray(t_, jnp.float32)), np.float64)
+            scene.poses[img] = np_geom.apply_similarity_to_pose(
+                scene.poses[img], s_, R_, t_)
         for tr in scene.tracks:
             tr.xyz = s_ * R_ @ tr.xyz + t_
         # demean: subtract mean camera center; keep as gps_offset (ref :1650-1673)
-        centers2 = np.stack([
-            np.asarray(projection.camera_center(jnp.asarray(scene.poses[i], jnp.float32)))
-            for i in scene.registered])
+        centers2 = np.stack([np_geom.camera_center(scene.poses[i])
+                             for i in scene.registered])
         self.gps_offset = centers2.mean(axis=0)
         for img in scene.registered:
-            pose = jnp.asarray(scene.poses[img], jnp.float32)
-            scene.poses[img] = np.asarray(projection.apply_similarity_to_pose(
-                pose, jnp.float32(1.0), jnp.eye(3, dtype=jnp.float32),
-                jnp.asarray(-self.gps_offset, jnp.float32)), np.float64)
+            scene.poses[img] = np_geom.apply_similarity_to_pose(
+                scene.poses[img], 1.0, np.eye(3), -self.gps_offset)
         for tr in scene.tracks:
             tr.xyz = tr.xyz - self.gps_offset
         self._cams_gps_centered = cams_gps - self.gps_offset
@@ -256,12 +250,10 @@ class SLAMGPS:
     def _gps_registration(self, scene: Scene, cams_gps: np.ndarray):
         """Per-point IDW blend of per-camera GPS offsets, then snap cameras
         to GPS positions (ref GPSRegistration2, slam_gps.cc:917-983)."""
-        import jax.numpy as jnp
-        from ..ops import projection
+        from ..ops import np_geom
 
         imgs = scene.registered
-        centers = {i: np.asarray(projection.camera_center(
-            jnp.asarray(scene.poses[i], jnp.float32))) for i in imgs}
+        centers = {i: np_geom.camera_center(scene.poses[i]) for i in imgs}
         cam_offset = {i: cams_gps[k] - centers[i] for k, i in enumerate(imgs)}
         for tr in scene.tracks:
             if tr.is_bad:
@@ -276,10 +268,8 @@ class SLAMGPS:
                 tr.xyz = tr.xyz + osum / wsum
         # snap each camera's center to its GPS position, keeping rotation
         for k, img in enumerate(imgs):
-            aa = scene.poses[img][:3]
-            scene.poses[img] = np.asarray(projection.pose_from_center(
-                jnp.asarray(aa, jnp.float32),
-                jnp.asarray(cams_gps[k], jnp.float32)), np.float64)
+            scene.poses[img] = np_geom.pose_from_center(
+                scene.poses[img][:3], cams_gps[k])
 
     def _gps_bundle(self, scene: Scene, cams_gps: np.ndarray):
         """GPS-anchored full BA: weight = #reproj-residuals/#cams, z/5
@@ -380,11 +370,9 @@ class SLAMGPS:
             os.path.join(out, "undistort_images"), scene, img_paths)
         # gps_pos.txt overlay (ref :1885-1905)
         with open(os.path.join(out, "gps_pos.txt"), "w") as f:
-            import jax.numpy as jnp
-            from ..ops import projection
+            from ..ops import np_geom
             for k, img in enumerate(scene.registered):
-                c = np.asarray(projection.camera_center(
-                    jnp.asarray(scene.poses[img], jnp.float32)))
+                c = np_geom.camera_center(scene.poses[img])
                 c = self.convert_to_gps(c)
                 g = self.convert_to_gps(self._cams_gps_centered[k])
                 f.write(f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f} "

@@ -70,3 +70,35 @@ def test_project_to_so3(rng):
     eye = jnp.einsum("nij,nkj->nik", P, P)
     np.testing.assert_allclose(eye, jnp.broadcast_to(jnp.eye(3), eye.shape), atol=1e-5)
     assert np.all(np.asarray(jnp.linalg.det(P)) > 0)
+
+
+def test_np_geom_matches_jnp(rng):
+    """Host-side numpy pose helpers agree with the jnp kernels."""
+    from metricsfm_tpu.ops import np_geom, projection
+
+    for _ in range(20):
+        aa = rng.normal(0, 1.2, 3)
+        t = rng.normal(0, 2, 3)
+        pose = np.concatenate([aa, t])
+        R_np = np_geom.angle_axis_to_matrix(aa)
+        R_j = np.asarray(lie.angle_axis_to_matrix(jnp.asarray(aa)))
+        np.testing.assert_allclose(R_np, R_j, atol=1e-5)
+        np.testing.assert_allclose(
+            np_geom.camera_center(pose),
+            np.asarray(projection.camera_center(jnp.asarray(pose))), atol=1e-4)
+        aa_back = np_geom.matrix_to_angle_axis(R_np)
+        np.testing.assert_allclose(
+            np_geom.angle_axis_to_matrix(aa_back), R_np, atol=1e-6)
+        # similarity update preserves projection semantics
+        s = float(rng.uniform(0.5, 2.0))
+        R_s = np_geom.angle_axis_to_matrix(rng.normal(0, 0.5, 3))
+        t_s = rng.normal(0, 1, 3)
+        p2 = np_geom.apply_similarity_to_pose(pose, s, R_s, t_s)
+        j2 = np.asarray(projection.apply_similarity_to_pose(
+            jnp.asarray(pose, jnp.float64).astype(jnp.float32),
+            jnp.float32(s), jnp.asarray(R_s, jnp.float32),
+            jnp.asarray(t_s, jnp.float32)))
+        R2n, t2n = np_geom.pose_to_Rt(p2)
+        R2j, t2j = np_geom.pose_to_Rt(j2)
+        np.testing.assert_allclose(R2n, R2j, atol=1e-4)
+        np.testing.assert_allclose(t2n, t2j, atol=1e-3)
