@@ -181,15 +181,20 @@ class Scene:
         for row, ti in enumerate(live):
             t = self.tracks[ti]
             points[row] = t.xyz
-            n_obs = 0
-            for im, kp in t.obs.items():
-                if im not in img_to_row or n_obs >= V:
-                    continue
+            reg = [(im, kp) for im, kp in t.obs.items() if im in img_to_row]
+            if len(reg) > V:
+                # spread kept views over the whole track, rotating the
+                # pattern per row — first-V truncation left late-registered
+                # cameras unobserved, and a fixed subsample starves the
+                # same cameras in every track
+                n = len(reg)
+                sel = sorted({(k * n // V + row) % n for k in range(V)})
+                reg = [reg[k] for k in sel]
+            for n_obs, (im, kp) in enumerate(reg):
                 track_cam[row, n_obs] = img_to_row[im]
                 track_uv[row, n_obs] = kp_xy[im][kp]
                 track_mask[row, n_obs] = True
-                n_obs += 1
-            if n_obs >= 3:
+            if len(reg) >= 3:
                 track_weight[row] = weight_multiview
             point_mut[row] = 1.0
         if mutable_points is not None:
