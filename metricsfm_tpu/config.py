@@ -84,6 +84,13 @@ class SfMOptions:
     max_new_points_per_step: int = 20000
     idx_max_per_image: int = 1_000_000  # global keypoint id = img_idx * this + kp_idx (ref :169)
     checkpoint_every: int = 10          # model checkpoint cadence (images)
+    # Above this camera count, full BA switches to the hierarchical
+    # submap solver (parallel/submap_ba.py) — the dense reduced camera
+    # system stays per-submap (TPU scaling path; no reference counterpart,
+    # closest analogue is CMVS clustering sfm_incremental.cc:1255-1256).
+    th_hierarchical_cameras: int = 400
+    submap_max_cams: int = 64
+    submap_overlap: int = 8
     weight_multiview: float = 2.0       # ≥3-view track weight in partial BA
     # batched RANSAC budgets (ref §6 table)
     ransac_8pt_iters: int = 256

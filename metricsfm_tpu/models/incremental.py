@@ -364,6 +364,14 @@ class IncrementalSfM:
         at the first registered camera.
         """
         kp_xy = {im: self.features[im].xy for im in scene.registered}
+        if full and len(scene.registered) > self.cfg.sfm.th_hierarchical_cameras:
+            # large scene: hierarchical submap BA + pose-graph merge
+            from ..parallel.submap_ba import hierarchical_ba
+            return hierarchical_ba(
+                scene, kp_xy,
+                max_cams=self.cfg.sfm.submap_max_cams,
+                overlap=self.cfg.sfm.submap_overlap,
+                cfg=self._lm_cfg)
         if full:
             mutable = list(scene.registered)
             weight = 1.0

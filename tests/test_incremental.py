@@ -136,3 +136,29 @@ def test_checkpoint_resume(rng, tmp_path):
     out2 = sfm2.run(max_models=1, checkpoint_dir=ckpt, resume=True)
     assert out2 and out2[0].registered == s1.registered
     assert out2[0].n_points() == s1.n_points()
+
+
+def test_incremental_hierarchical_full_ba(rng):
+    """Full BA routes through the hierarchical submap solver above the
+    camera threshold (SfMOptions.th_hierarchical_cameras)."""
+    import dataclasses
+
+    scene = make_scene(rng, n_cams=6, n_pts=250, focal=1100.0, noise_px=0.3)
+    feats, matches = build_inputs(scene, noise_px=0.3, rng=rng)
+    cfg = web_preset()
+    cfg = dataclasses.replace(cfg, sfm=dataclasses.replace(
+        cfg.sfm, th_hierarchical_cameras=4, submap_max_cams=4,
+        submap_overlap=2))
+    sfm = IncrementalSfM(feats, matches, cfg, seed=0)
+    out = sfm.run(max_models=1)
+    rec = out[0]
+    assert len(rec.registered) == 6, rec.registered
+    assert rec.n_points() > 150
+
+    est = np.stack([np.asarray(rec.tracks[t].xyz) for t in range(len(rec.tracks))
+                    if not rec.tracks[t].is_bad])
+    # reprojection quality close to the dense-BA path
+    from metricsfm_tpu.models.accuracy import assess
+    kp_xy = {i: feats[i].xy for i in rec.registered}
+    st = assess(rec, kp_xy)
+    assert st["avg_err"] < 2.0, st["avg_err"]
