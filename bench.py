@@ -87,12 +87,68 @@ def bench_matching(n_kp=4096, n_pairs=16, iters=8, use_pallas=True):
     return n_pairs * iters / dt
 
 
+def bench_sift(H=1536, W=2048, iters=6):
+    """Images/s of full SIFT extraction (pyramid + DoG + orientation +
+    descriptors) at the reference working resolution (2000x1500 default,
+    basic_structs.h:155)."""
+    import jax
+    import jax.numpy as jnp
+    from metricsfm_tpu.ops import sift
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
+    extract = jax.jit(lambda x: sift.extract(x))
+    out = extract(img)
+    _ = np.asarray(out["desc"][0, 0])
+    t0 = time.perf_counter()
+    cur = img
+    for _ in range(iters):
+        out = extract(cur)
+        cur = cur + out["response"][0] * 1e-12   # data dependency
+    _ = np.asarray(out["desc"][0, 0])
+    return iters / (time.perf_counter() - t0)
+
+
+def bench_sgm(H=512, W=640, max_disp=128, iters=6):
+    """Megapixels/s of full SGM stereo (census + 8-path + WTA + median +
+    LR check) at the reference disparity size."""
+    import jax
+    import jax.numpy as jnp
+    from metricsfm_tpu.ops import sgm
+
+    rng = np.random.default_rng(0)
+    L = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
+    R = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
+    disp, _ = sgm.stereo_sgm(L, R, max_disp=max_disp)
+    _ = np.asarray(disp[0, 0])
+    t0 = time.perf_counter()
+    cur = L
+    for _ in range(iters):
+        disp, _ = sgm.stereo_sgm(cur, R, max_disp=max_disp)
+        cur = cur + disp[:1, :1] * 1e-12
+    _ = np.asarray(disp[0, 0])
+    return iters * H * W / 1e6 / (time.perf_counter() - t0)
+
+
 def main():
     import jax
     from metricsfm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     ba_its = bench_ba()
-    pairs_s = bench_matching()
+    try:
+        pairs_s = bench_matching()
+    except Exception:
+        # Pallas path unavailable on this platform/libtpu: fall back to
+        # the XLA matmul matcher so the bench always reports.
+        pairs_s = bench_matching(use_pallas=False)
+    try:
+        sift_s = bench_sift()
+    except Exception:
+        sift_s = -1.0
+    try:
+        sgm_mps = bench_sgm()
+    except Exception:
+        sgm_mps = -1.0
     platform = jax.devices()[0].platform
     baseline_ba_its = 10.0   # Ceres DENSE_SCHUR 1-thread CPU proxy (see docstring)
     print(json.dumps({
@@ -101,6 +157,8 @@ def main():
         "unit": "LM iterations/s (64 cams, 16k pts, 6 views)",
         "vs_baseline": round(ba_its / baseline_ba_its, 3),
         "matched_pairs_per_s": round(pairs_s, 3),
+        "sift_images_per_s": round(sift_s, 3),
+        "sgm_megapixels_per_s": round(sgm_mps, 3),
         "platform": platform,
     }))
 

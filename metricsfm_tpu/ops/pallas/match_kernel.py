@@ -33,8 +33,12 @@ def _kernel(q_ref, db_ref, mask_ref, best_ref, second_ref, idx_ref,
         acc_second[:] = jnp.full_like(acc_second, -jnp.inf)
         acc_idx[:] = jnp.zeros_like(acc_idx)
 
-    # db block arrives pre-transposed as (D, BD): standard (m,k)x(k,n) matmul
-    sim = jnp.dot(q_ref[:], db_ref[:],
+    # db block arrives pre-transposed as (D, BD): standard (m,k)x(k,n)
+    # matmul. Blocks are stored bf16 (halves VMEM traffic) but cast to f32
+    # at the dot: current Mosaic rejects the bf16xbf16->f32 tpu.matmul
+    # form ("Bad lhs type"), while f32 inputs lower cleanly.
+    sim = jnp.dot(q_ref[:].astype(jnp.float32),
+                  db_ref[:].astype(jnp.float32),
                   preferred_element_type=jnp.float32)       # (BQ, BD)
     sim = jnp.where(mask_ref[:] > 0, sim, -jnp.inf)         # (1,BD) bcast
 
@@ -59,13 +63,14 @@ def _kernel(q_ref, db_ref, mask_ref, best_ref, second_ref, idx_ref,
 
     @pl.when(j == nj - 1)
     def _():
-        best_ref[:] = acc_best[0, :]
-        second_ref[:] = acc_second[0, :]
-        idx_ref[:] = acc_idx[0, :]
+        best_ref[0, :] = acc_best[0, :]
+        second_ref[0, :] = acc_second[0, :]
+        idx_ref[0, :] = acc_idx[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bd"))
-def knn2_pallas(desc1, desc2, mask2=None, bq: int = 256, bd: int = 1024):
+@functools.partial(jax.jit, static_argnames=("bq", "bd", "interpret"))
+def knn2_pallas(desc1, desc2, mask2=None, bq: int = 256, bd: int = 1024,
+                interpret: bool = False):
     """Exact 2-NN via the fused kernel.
 
     Args:
@@ -98,26 +103,32 @@ def knn2_pallas(desc1, desc2, mask2=None, bq: int = 256, bd: int = 1024):
             pl.BlockSpec((1, bd), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
+        # outputs are (1, N) rows with lane-dim blocks — 1-D outputs tile
+        # as T(256) in Mosaic but T(1024) in XLA and fail layout checks
         out_specs=[
-            pl.BlockSpec((bq,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n1p,), jnp.float32),
-            jax.ShapeDtypeStruct((n1p,), jnp.float32),
-            jax.ShapeDtypeStruct((n1p,), jnp.int32),
+            jax.ShapeDtypeStruct((1, n1p), jnp.float32),
+            jax.ShapeDtypeStruct((1, n1p), jnp.float32),
+            jax.ShapeDtypeStruct((1, n1p), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, bq), jnp.float32),
             pltpu.VMEM((1, bq), jnp.float32),
             pltpu.VMEM((1, bq), jnp.int32),
         ],
+        interpret=interpret,
     )(q, db, m)
 
-    best = best[:N1]
-    second = second[:N1]
-    idx = idx[:N1]
+    best = best[0, :N1]
+    second = second[0, :N1]
+    idx = idx[0, :N1]
     d1_sq = jnp.maximum(2.0 - 2.0 * best, 0.0)
     d2_sq = jnp.maximum(2.0 - 2.0 * second, 0.0)
     return d1_sq, d2_sq, idx

@@ -97,3 +97,27 @@ def test_sift_translation_matching(rng):
     # majority of matches should see the (shift, shift) translation
     err = np.linalg.norm(d - np.array([shift, shift]), axis=1)
     assert np.median(err) < 2.0
+
+
+def test_knn2_pallas_matches_xla(rng):
+    """Fused Pallas 2-NN kernel (interpret mode on CPU) agrees with the
+    XLA matmul matcher — best/second distances and argmax indices."""
+    import jax.numpy as jnp
+    from metricsfm_tpu.ops import matching
+    from metricsfm_tpu.ops.pallas.match_kernel import knn2_pallas
+
+    d1 = rng.normal(size=(300, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = rng.normal(size=(500, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    mask2 = np.ones(500, bool)
+    mask2[450:] = False
+
+    p1, p2, pidx = knn2_pallas(jnp.asarray(d1), jnp.asarray(d2),
+                               jnp.asarray(mask2), bq=128, bd=256,
+                               interpret=True)
+    x1, x2, xidx = matching.knn2(jnp.asarray(d1), jnp.asarray(d2),
+                                 jnp.asarray(mask2))
+    assert float((np.asarray(pidx) == np.asarray(xidx)).mean()) > 0.999
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(x2), atol=2e-2)
