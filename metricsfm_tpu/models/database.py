@@ -68,36 +68,85 @@ class Database:
         self._features: Dict[int, ImageFeatures] = {}
 
     # -- feature stage -----------------------------------------------------
+    @staticmethod
+    def _shape_bucket(h: int, w: int, quantum: int = 256) -> Tuple[int, int]:
+        """Round (H, W) up to a padded bucket so jit caches survive
+        slightly-different image sizes."""
+        return (-(-h // quantum) * quantum, -(-w // quantum) * quantum)
+
     def feature_extraction(self, jit_pad_to: Optional[Tuple[int, int]] = None,
-                           verbose: bool = False):
+                           batch_size: int = 4, verbose: bool = False):
         """Extract (or resume) SIFT features for every image
-        (ref FeatureExtraction, database.cc:51-107)."""
+        (ref FeatureExtraction, database.cc:51-107).
+
+        TPU re-design of the per-image CUDA loop: images are zero-padded
+        into shape buckets and processed in vmapped batches — one compile
+        per bucket, device-batched extraction, async dispatch overlapping
+        host-side decode of the next batch. Keypoint coordinates are
+        re-centered to the ORIGINAL image center (padding shifts the
+        padded-image center) and detections inside the padding margin are
+        masked out.
+        """
+        import jax
         import jax.numpy as jnp
         cfg = sift.SiftConfig(max_keypoints=self.opts.max_keypoints)
-        for i, path in enumerate(self.image_paths):
-            if fstore.has_features(self.out, i):
-                continue
-            img, ratio = load_image_gray(path, self.opts.size_image
-                                         if self.opts.resize else None)
-            info = exif_util.extract_image_info(path)
-            f_px = info.get("focal_px", 0.0) * ratio
-            if jit_pad_to:
-                H, W = jit_pad_to
-                img = np.pad(img[:H, :W],
-                             ((0, max(H - img.shape[0], 0)),
-                              (0, max(W - img.shape[1], 0))))
-            out = sift.extract(jnp.asarray(img), cfg)
-            fstore.write_features(
-                self.out, i,
-                xy=np.asarray(out["xy"]), desc=np.asarray(out["desc"]),
-                mask=np.asarray(out["mask"]), sigma=np.asarray(out["sigma"]),
-                angle=np.asarray(out["angle"]),
-                meta={"width": img.shape[1], "height": img.shape[0],
-                      "focal_px": f_px,
-                      "gps": info.get("gps", (0.0, 0.0, 0.0)),
-                      "path": path})
-            if verbose and i % 5 == 0:
-                print(f"features {i}/{self.n_images}")
+        missing = [i for i in range(self.n_images)
+                   if not fstore.has_features(self.out, i)]
+        if not missing:
+            return
+
+        extract_b = jax.jit(jax.vmap(lambda im: sift.extract(im, cfg)))
+
+        # cheap size-probe prepass (no pixel decode) to group images into
+        # padded shape buckets; decode happens lazily per batch so host
+        # memory stays O(batch), not O(dataset)
+        from PIL import Image
+        target = self.opts.size_image if self.opts.resize else None
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for i in missing:
+            with Image.open(self.image_paths[i]) as im:
+                w, h = im.size
+            if target and w * h > target:
+                r = (target / (w * h)) ** 0.5
+                w, h = max(int(w * r), 8), max(int(h * r), 8)
+            bk = jit_pad_to or self._shape_bucket(h, w)
+            buckets.setdefault(tuple(bk), []).append(i)
+
+        done = 0
+        for (Hb, Wb), idxs in buckets.items():
+            for start in range(0, len(idxs), batch_size):
+                chunk = idxs[start:start + batch_size]
+                loaded = {}
+                batch = np.zeros((len(chunk), Hb, Wb), np.float32)
+                for b, i in enumerate(chunk):
+                    img, ratio = load_image_gray(self.image_paths[i], target)
+                    info = exif_util.extract_image_info(self.image_paths[i])
+                    loaded[i] = (img, ratio, info)
+                    batch[b, :img.shape[0], :img.shape[1]] = img[:Hb, :Wb]
+                out = jax.tree.map(np.asarray, extract_b(jnp.asarray(batch)))
+                for b, i in enumerate(chunk):
+                    img, ratio, info = loaded[i]
+                    H, W = img.shape
+                    # re-center: extract() centers at the PADDED image
+                    # center; shift back to the original one and drop
+                    # detections that fall inside the padding
+                    xy_pix = out["xy"][b] + np.array([Wb / 2.0, Hb / 2.0])
+                    margin = 8.0
+                    ok = out["mask"][b] & (xy_pix[:, 0] < W - margin) & \
+                        (xy_pix[:, 1] < H - margin)
+                    xy = xy_pix - np.array([W / 2.0, H / 2.0])
+                    fstore.write_features(
+                        self.out, i,
+                        xy=xy, desc=out["desc"][b], mask=ok,
+                        sigma=out["sigma"][b], angle=out["angle"][b],
+                        meta={"width": W, "height": H,
+                              "focal_px": info.get("focal_px", 0.0) * ratio,
+                              "gps": info.get("gps", (0.0, 0.0, 0.0)),
+                              "path": self.image_paths[i]})
+                done += len(chunk)
+                if verbose:
+                    print(f"features {done}/{len(missing)} "
+                          f"(bucket {Hb}x{Wb})")
 
     def features(self, i: int) -> ImageFeatures:
         """Lazy paged read (ref ReadinImageFeatures/Release,
