@@ -272,11 +272,13 @@ def stereo_elas(left, right, max_disp: int = 128,
     energy = p.beta * cost + _prior_energy(d_idx, prior, p.gamma, p.sigma)
 
     best = jnp.argmin(energy, axis=-1)
-    # parabolic subpixel on the energy
+    # parabolic subpixel on the energy; neighbour energies via masked
+    # reductions — (H, W, D) take_along_axis gathers are very slow on TPU
     bm = jnp.clip(best, 1, max_disp - 2)
-    em = jnp.take_along_axis(energy, (bm - 1)[..., None], -1)[..., 0]
-    ec = jnp.take_along_axis(energy, bm[..., None], -1)[..., 0]
-    ep = jnp.take_along_axis(energy, (bm + 1)[..., None], -1)[..., 0]
+    sel = jnp.arange(max_disp)[None, None, :] - bm[..., None]
+    em = jnp.sum(jnp.where(sel == -1, energy, 0.0), axis=-1)
+    ec = jnp.sum(jnp.where(sel == 0, energy, 0.0), axis=-1)
+    ep = jnp.sum(jnp.where(sel == 1, energy, 0.0), axis=-1)
     denom = em - 2 * ec + ep
     off = jnp.where(jnp.abs(denom) > 1e-6,
                     0.5 * (em - ep) / jnp.maximum(denom, 1e-6), 0.0)
@@ -285,13 +287,15 @@ def stereo_elas(left, right, max_disp: int = 128,
     texture = jnp.sum(jnp.abs(desc_l), axis=-1) > p.match_texture
 
     # right disparity from the same volume: energy_r(x, d) = energy_l(x+d, d)
+    # — per-disparity rolls instead of a full-volume gather
     H, W = left.shape
-    x = jax.lax.broadcasted_iota(jnp.int32, (H, W, max_disp), 1)
-    dd = jax.lax.broadcasted_iota(jnp.int32, (H, W, max_disp), 2)
-    energy_r = jnp.take_along_axis(energy, jnp.clip(x + dd, 0, W - 1), axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    energy_r = jnp.stack(
+        [jnp.where(col < W - d, jnp.roll(energy[:, :, d], -d, axis=1), 1e9)
+         for d in range(max_disp)], axis=-1)
     disp_r = jnp.argmin(energy_r, axis=-1).astype(jnp.float32)
 
-    xr = jnp.clip(x[..., 0] - jnp.round(disp_l).astype(jnp.int32), 0, W - 1)
+    xr = jnp.clip(col - jnp.round(disp_l).astype(jnp.int32), 0, W - 1)
     dr = jnp.take_along_axis(disp_r, xr, axis=1)
     lr_ok = jnp.abs(disp_l - dr) <= p.lr_threshold
 

