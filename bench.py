@@ -90,28 +90,33 @@ def bench_matching(n_kp=4096, n_pairs=16, iters=8, use_pallas=True):
 def bench_sift(H=1536, W=2048, iters=6):
     """Images/s of full SIFT extraction (pyramid + DoG + orientation +
     descriptors) at the reference working resolution (2000x1500 default,
-    basic_structs.h:155)."""
+    basic_structs.h:155).  Iterations are chained inside ONE jit (lax.scan
+    with a data dependency) — a python dispatch loop measures the host
+    round-trip latency of the tunneled platform, not device throughput."""
     import jax
     import jax.numpy as jnp
     from metricsfm_tpu.ops import sift
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
-    extract = jax.jit(lambda x: sift.extract(x))
-    out = extract(img)
-    _ = np.asarray(out["desc"][0, 0])
+
+    @jax.jit
+    def chained(x):
+        def body(cur, _):
+            out = sift.extract(cur)
+            return cur + out["response"][0] * 1e-12, out["desc"][0, 0]
+        _, ys = jax.lax.scan(body, x, None, length=iters)
+        return ys
+
+    _ = np.asarray(chained(img))
     t0 = time.perf_counter()
-    cur = img
-    for _ in range(iters):
-        out = extract(cur)
-        cur = cur + out["response"][0] * 1e-12   # data dependency
-    _ = np.asarray(out["desc"][0, 0])
+    _ = np.asarray(chained(img))
     return iters / (time.perf_counter() - t0)
 
 
-def bench_sgm(H=512, W=640, max_disp=128, iters=6):
+def bench_sgm(H=512, W=640, max_disp=128, iters=10):
     """Megapixels/s of full SGM stereo (census + 8-path + WTA + median +
-    LR check) at the reference disparity size."""
+    LR check) at the reference disparity size; in-jit chained timing."""
     import jax
     import jax.numpy as jnp
     from metricsfm_tpu.ops import sgm
@@ -119,14 +124,18 @@ def bench_sgm(H=512, W=640, max_disp=128, iters=6):
     rng = np.random.default_rng(0)
     L = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
     R = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
-    disp, _ = sgm.stereo_sgm(L, R, max_disp=max_disp)
-    _ = np.asarray(disp[0, 0])
+
+    @jax.jit
+    def chained(a, b):
+        def body(cur, _):
+            disp, _ = sgm.stereo_sgm(cur, b, max_disp=max_disp)
+            return cur + disp[:1, :1] * 1e-12, jnp.sum(disp)
+        _, s = jax.lax.scan(body, a, None, length=iters)
+        return s
+
+    _ = np.asarray(chained(L, R))
     t0 = time.perf_counter()
-    cur = L
-    for _ in range(iters):
-        disp, _ = sgm.stereo_sgm(cur, R, max_disp=max_disp)
-        cur = cur + disp[:1, :1] * 1e-12
-    _ = np.asarray(disp[0, 0])
+    _ = np.asarray(chained(L, R))
     return iters * H * W / 1e6 / (time.perf_counter() - t0)
 
 

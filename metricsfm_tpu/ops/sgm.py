@@ -54,12 +54,43 @@ def census_transform(img, win_h: int = 9, win_w: int = 7):
 
 
 def matching_cost_volume(census_l, census_r, max_disp: int):
-    """(H, W, D) Hamming-distance cost volume, D = max_disp.
+    """(H, W, D) int16 Hamming-distance cost volume, D = max_disp.
 
     cost(x, y, d) = popcount(census_l(x, y) ^ census_r(x - d, y)); out-of-
     range disparities get the max cost (64). census inputs are (2, H, W).
+    Values are small exact integers; stored as f32 — 16-bit vector ops
+    relayout badly on current TPU toolchains (aggregate_paths re-quantizes
+    per backend).
     """
     _, H, W = census_l.shape
+    D = max_disp
+
+    if jax.default_backend() == "tpu":
+        # Bulk skew-by-reshape: shifted[y, d, x] = census_r[y, x-d] built
+        # with pads/reshapes over an (H, D, W) volume, then ONE transpose.
+        # The per-d roll + stack(axis=-1) form forces XLA to materialize
+        # 128 popcount outputs as (H, W, 1) tiles padded 128x on the lane
+        # axis (popcount is a custom-call and cannot fuse into a minor-axis
+        # concatenate) — 20 GB of HLO temps at 512x640x128.
+        WP = W + D
+
+        def shifted_vol(w):                          # (H, W) -> (H, D, W)
+            B = jnp.broadcast_to(w[:, None, :], (H, D, W))
+            P = jnp.pad(B, ((0, 0), (0, 0), (0, D)))
+            flat = P.reshape(H, D * WP)[:, :D * (WP - 1)]
+            return flat.reshape(H, D, WP - 1)[:, :, :W]
+
+        x_lo = jnp.bitwise_xor(shifted_vol(census_r[0]),
+                               census_l[0][:, None, :])
+        x_hi = jnp.bitwise_xor(shifted_vol(census_r[1]),
+                               census_l[1][:, None, :])
+        ham = (jax.lax.population_count(x_lo)
+               + jax.lax.population_count(x_hi)).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, D, W), 2)
+        dd = jax.lax.broadcasted_iota(jnp.int32, (H, D, W), 1)
+        vol = jnp.where(col >= dd, ham, 64.0)
+        return jnp.transpose(vol, (0, 2, 1))
+
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
     def per_d(d):
@@ -71,80 +102,91 @@ def matching_cost_volume(census_l, census_r, max_disp: int):
     return jnp.stack([per_d(d) for d in range(max_disp)], axis=-1)
 
 
-def _shear(vol, direction: int):
-    """Shift row y by direction*y columns (maps diagonals onto columns)."""
-    H = vol.shape[0]
-    rows = jnp.arange(H)
-
-    def shift_row(row, r):
-        return jnp.roll(row, direction * r, axis=0)
-
-    return jax.vmap(shift_row)(vol, rows)
+_BIG16 = jnp.int16(16000)      # uniform carry value == "path restarts here"
 
 
-def _batched_scan(xs, p1: float, p2: float):
-    """One wavefront recurrence over several directions at once.
+def _sgm_step(prev, c, p1, p2):
+    """One SGM recurrence, disparity on the LAST axis.
 
-    xs: (L, B, D, R) — B independent direction-sequences of length L with
-    R-row wavefronts; the DISPARITY axis sits second-to-last so the d+-1
-    shifts of the recurrence are sublane slices, not minor-dim lane
-    rotations (a minor-D layout relayouts the carry every step — measured
-    dominant in the scan cost), and the row axis keeps full lanes.
+    L = c + min(prev, prev[d-1]+P1, prev[d+1]+P1, m+P2) - m,  m = min_d prev.
+    int16 throughout (costs <= 64, per-path values <= 64 + P2)."""
+    big = _BIG16
+    m = jnp.min(prev, axis=-1, keepdims=True)
+    sp = jnp.concatenate([jnp.full_like(prev[..., :1], big),
+                          prev[..., :-1]], axis=-1)
+    sn = jnp.concatenate([prev[..., 1:],
+                          jnp.full_like(prev[..., :1], big)], axis=-1)
+    best = jnp.minimum(jnp.minimum(prev, m + jnp.int16(p2)),
+                       jnp.minimum(sp + jnp.int16(p1), sn + jnp.int16(p1)))
+    return c + best - m
 
-    A single scan over L replaces B separate scans: per-step work is
-    small, so sequential step count (not FLOPs) dominates SGM wall time
-    on TPU.
-    """
-    big = jnp.float32(1e9)
 
-    def step(prev, c):                                        # (B, D, R)
-        m = jnp.min(prev, axis=-2, keepdims=True)             # (B, 1, R)
-        shift_p = jnp.concatenate([prev[:, :1] + big, prev[:, :-1]],
-                                  axis=1)
-        shift_n = jnp.concatenate([prev[:, 1:], prev[:, -1:] + big],
-                                  axis=1)
-        best = jnp.minimum(jnp.minimum(prev, m + p2),
-                           jnp.minimum(shift_p + p1, shift_n + p1))
-        out = c + best - m
-        return out, out
-
-    init = jnp.zeros_like(xs[0])
-    _, ys = jax.lax.scan(step, init, xs)
-    return ys                                                 # (L, B, D, R)
+def _shift_carry(prev, direction: int):
+    """Shift a (W, D) carry by one column; shifted-in column is uniform
+    (= restart).  A DIAGONAL path is a vertical scan whose carry moves one
+    column per row: pred of (y, x) on the down-right path is (y-1, x-1)."""
+    fill = jnp.full_like(prev[:1], _BIG16)
+    if direction > 0:
+        return jnp.concatenate([fill, prev[:-1]], axis=0)
+    return jnp.concatenate([prev[1:], fill], axis=0)
 
 
 def aggregate_paths(cost, p1: float = 10.0, p2: float = 120.0,
                     num_paths: int = 8):
     """Sum of 4 or 8 directional aggregations (ref path_aggregation.cu).
 
-    Horizontal + the two diagonal pairs share the column-scan shape
-    (diagonals via shearing), so they run as ONE batched scan of W steps;
-    the vertical pair is a second batched scan of H steps — 2 scans total
-    instead of 8."""
-    cw = jnp.transpose(cost, (1, 2, 0))                       # (W, D, H)
-    seqs = [cw, cw[::-1]]
-    if num_paths >= 8:
-        sp = jnp.transpose(_shear(cost, 1), (1, 2, 0))
-        sn = jnp.transpose(_shear(cost, -1), (1, 2, 0))
-        seqs += [sp, sp[::-1], sn, sn[::-1]]
-    xs_a = jnp.stack(seqs, axis=1)                            # (W, B, D, H)
-    ys_a = _batched_scan(xs_a, p1, p2)
+    cost: (H, W, D) int16 Hamming volume.  Returns int16 (H, W, D).
 
-    def back(y):                                              # (W, D, H)
-        return jnp.transpose(y, (2, 0, 1))                    # (H, W, D)
+    On TPU this runs as two fused Pallas kernels in the natural layout
+    (pallas/sgm_kernel.py) — the lax.scan path below pays a fixed dispatch
+    cost per sequential step and is kept for CPU/other backends.  Both
+    implement identical math: horizontal scans over columns; vertical AND
+    diagonal paths as scans over rows, the diagonals via a +-1 column shift
+    of the carry per row (no shears/transposes).
+    """
+    if jax.default_backend() == "tpu":
+        from .pallas.sgm_kernel import aggregate_paths_pallas
+        # f32 storage: values are small exact integers either way, but this
+        # Mosaic's 16-bit vector loads/stores relayout (measured 19 ms i16
+        # vs 8 ms f32 for the same kernels at 512x640x128).  The barrier
+        # stops XLA from rematerializing the cost-volume stack into the
+        # custom-call operand as (H, W, 1)-tiled copies (128x padded, OOM).
+        cost = jax.lax.optimization_barrier(cost.astype(jnp.float32))
+        return aggregate_paths_pallas(cost, int(p1), int(p2), num_paths,
+                                      storage=jnp.float32)
+    cost = cost.astype(jnp.int16)
 
-    total = back(ys_a[:, 0]) + back(ys_a[:, 1][::-1])
-    if num_paths >= 8:
-        dp = back(ys_a[:, 2]) + back(ys_a[:, 3][::-1])
-        dn = back(ys_a[:, 4]) + back(ys_a[:, 5][::-1])
-        total = total + _shear(dp, -1) + _shear(dn, 1)
+    p1i, p2i = int(p1), int(p2)
 
-    cv = jnp.transpose(cost, (0, 2, 1))                       # (H, D, W)
-    xs_b = jnp.stack([cv, cv[::-1]], axis=1)                  # (H, 2, D, W)
-    ys_b = _batched_scan(xs_b, p1, p2)
-    total = total + jnp.transpose(ys_b[:, 0], (0, 2, 1)) + \
-        jnp.transpose(ys_b[:, 1][::-1], (0, 2, 1))
-    return total
+    # horizontal pair: scan over W, carry (H, D)
+    cw = jnp.transpose(cost, (1, 0, 2))                       # (W, H, D)
+
+    def hstep(prev, c):
+        out = _sgm_step(prev, c, p1i, p2i)
+        return out, out
+
+    init_h = jnp.full_like(cw[0], _BIG16)
+    _, hf = jax.lax.scan(hstep, init_h, cw)
+    _, hb = jax.lax.scan(hstep, init_h, cw[::-1])
+    total = (jnp.transpose(hf, (1, 0, 2))
+             + jnp.transpose(hb[::-1], (1, 0, 2)))
+
+    # vertical (+ diagonal) scans over H, carries (W, D)
+    diag = num_paths >= 8
+
+    def vstep(carries, c):
+        cv, cd1, cd2 = carries
+        nv = _sgm_step(cv, c, p1i, p2i)
+        if diag:
+            nd1 = _sgm_step(_shift_carry(cd1, +1), c, p1i, p2i)
+            nd2 = _sgm_step(_shift_carry(cd2, -1), c, p1i, p2i)
+            return (nv, nd1, nd2), nv + nd1 + nd2
+        return (nv, cd1, cd2), nv
+
+    init_v = (jnp.full_like(cost[0], _BIG16),) * 3
+    _, vf = jax.lax.scan(vstep, init_v, cost)
+    _, vb = jax.lax.scan(vstep, init_v, cost[::-1])
+    return total + vf + vb[::-1]
 
 
 def winner_takes_all(agg, uniqueness: float = 0.96, subpixel: bool = True):
@@ -153,21 +195,24 @@ def winner_takes_all(agg, uniqueness: float = 0.96, subpixel: bool = True):
     Returns (disp (H, W) float32, valid (H, W) bool).
     """
     D = agg.shape[-1]
+    is_int = jnp.issubdtype(agg.dtype, jnp.integer)
+    big = jnp.asarray(30000 if is_int else 1e9, agg.dtype)
     best = jnp.argmin(agg, axis=-1)
-    c0 = jnp.min(agg, axis=-1)
+    c0 = jnp.min(agg, axis=-1).astype(jnp.float32)
     # second-best at least 2 disparities away (exclude immediate neighbours)
     d_idx = jnp.arange(D)[None, None, :]
-    masked = jnp.where(jnp.abs(d_idx - best[..., None]) <= 1, 1e9, agg)
-    c1 = jnp.min(masked, axis=-1)
+    masked = jnp.where(jnp.abs(d_idx - best[..., None]) <= 1, big, agg)
+    c1 = jnp.min(masked, axis=-1).astype(jnp.float32)
     valid = c0 <= uniqueness * c1
     if subpixel:
         bm = jnp.clip(best, 1, D - 2)
         # neighbour costs via masked reductions — take_along_axis gathers
         # on the (H, W, D) volume are far slower than dense passes on TPU
         sel = d_idx - bm[..., None]
-        cm = jnp.sum(jnp.where(sel == -1, agg, 0.0), axis=-1)
-        cc = jnp.sum(jnp.where(sel == 0, agg, 0.0), axis=-1)
-        cp = jnp.sum(jnp.where(sel == 1, agg, 0.0), axis=-1)
+        zero = jnp.zeros((), agg.dtype)
+        cm = jnp.sum(jnp.where(sel == -1, agg, zero), axis=-1).astype(jnp.float32)
+        cc = jnp.sum(jnp.where(sel == 0, agg, zero), axis=-1).astype(jnp.float32)
+        cp = jnp.sum(jnp.where(sel == 1, agg, zero), axis=-1).astype(jnp.float32)
         denom = cm - 2 * cc + cp
         off = jnp.where(jnp.abs(denom) > 1e-6,
                         0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
@@ -197,7 +242,8 @@ def lr_consistency(disp_l, disp_r, max_diff: float = 1.0):
     return jnp.abs(disp_l - dr) <= max_diff
 
 
-@partial(jax.jit, static_argnames=("max_disp", "num_paths", "subpixel"))
+@partial(jax.jit, static_argnames=("max_disp", "num_paths", "subpixel",
+                                   "p1", "p2"))
 def stereo_sgm(left, right, max_disp: int = 128, p1: float = 10.0,
                p2: float = 120.0, uniqueness: float = 0.96,
                num_paths: int = 8, subpixel: bool = True):
@@ -220,10 +266,19 @@ def stereo_sgm(left, right, max_disp: int = 128, p1: float = 10.0,
     # over the whole (H, W, D) volume measured ~0.7 s on its own
     D = max_disp
     H, W = left.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    cost_r = jnp.stack(
-        [jnp.where(col < W - d, jnp.roll(agg_l[:, :, d], -d, axis=1), 1e9)
-         for d in range(D)], axis=-1)
+    big_r = jnp.asarray(30000, agg_l.dtype)
+    # skew-by-reshape: cost_r[y, x, d] = agg_l[y, x+d, d].  Padding the W
+    # axis by D then the flat (D*(W+D)) axis by D and re-splitting at width
+    # W+D+1 shifts row d by exactly d columns (diagonal-extraction trick) —
+    # one bulk pad/reshape instead of D per-plane rolls, which XLA
+    # materialized as (H, W, 1) tiles padded 128x on the lane axis (OOM)
+    aggT = jnp.transpose(agg_l, (0, 2, 1))                    # (H, D, W)
+    WD = W + D
+    P = jnp.pad(aggT, ((0, 0), (0, 0), (0, D)), constant_values=big_r)
+    flat = jnp.pad(P.reshape(H, D * WD), ((0, 0), (0, D)),
+                   constant_values=big_r)
+    cost_r = jnp.transpose(flat.reshape(H, D, WD + 1)[:, :, :W],
+                           (0, 2, 1))                         # (H, W, D)
     disp_r, _ = winner_takes_all(cost_r, uniqueness, subpixel)
 
     disp_l = median3(disp_l)

@@ -39,6 +39,46 @@ def textured_scene(rng, H=96, W=160, max_disp=24):
     return left, right, disp
 
 
+def _aggregate_bruteforce(cost, p1=10, p2=120, num_paths=8):
+    """Literal per-pixel, per-path SGM aggregation (the reference recurrence
+    of dense/cudasgm/src/path_aggregation.cu), O(H*W*D*paths) python."""
+    H, W, D = cost.shape
+    cost = cost.astype(np.int64)
+    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if num_paths >= 8:
+        dirs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    total = np.zeros((H, W, D), np.int64)
+    for dy, dx in dirs:
+        L = np.zeros((H, W, D), np.int64)
+        ys = range(H) if dy >= 0 else range(H - 1, -1, -1)
+        xs = range(W) if dx >= 0 else range(W - 1, -1, -1)
+        for y in ys:
+            for x in xs:
+                py, px = y - dy, x - dx
+                if 0 <= py < H and 0 <= px < W:
+                    prev = L[py, px]
+                    m = prev.min()
+                    best = np.minimum(prev, m + p2)
+                    best[1:] = np.minimum(best[1:], prev[:-1] + p1)
+                    best[:-1] = np.minimum(best[:-1], prev[1:] + p1)
+                    L[y, x] = cost[y, x] + best - m
+                else:
+                    L[y, x] = cost[y, x]
+        total += L
+    return total
+
+
+@pytest.mark.parametrize("num_paths", [4, 8])
+def test_aggregate_paths_matches_bruteforce(rng, num_paths):
+    """Pins the exact per-direction recurrence incl. the diagonal paths
+    (carry-shift formulation) against a literal reference implementation."""
+    cost = rng.integers(0, 64, size=(10, 12, 8)).astype(np.int16)
+    want = _aggregate_bruteforce(cost, num_paths=num_paths)
+    got = np.asarray(sgm.aggregate_paths(jnp.asarray(cost),
+                                         num_paths=num_paths)).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_census_hamming(rng):
     img = jnp.asarray(rng.uniform(0, 1, size=(32, 40)).astype(np.float32))
     c = sgm.census_transform(img)
