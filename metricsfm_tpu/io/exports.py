@@ -191,7 +191,8 @@ def write_sure(path: str, scene, image_names: Dict[int, str],
 def write_qin(path: str, scene, image_names: Dict[int, str],
               cols: int, rows: int, pixel_mm: float = 0.005):
     """MSP pose.qin (ref SaveforMSP, slam_gps.cc:1533-1571): photogrammetry
-    convention (x-axis pi rotation), Euler angles, focal in mm."""
+    convention (x-axis pi rotation), X-Y-Z Euler angles
+    (RotationMatrixToEulerAngles, basic_funcs.cc:245-249), focal in mm."""
     imgs = scene.registered
     m = scene.models[scene.model_of_image[imgs[0]]]
     R_cv2ph = np.diag([1.0, -1.0, -1.0])
@@ -205,7 +206,7 @@ def write_qin(path: str, scene, image_names: Dict[int, str],
             R, _ = _Rt(scene, im)
             c = _center(scene, im)
             Rph = R_cv2ph @ R
-            e = np.asarray(lie.matrix_to_euler_zyx(jnp.asarray(Rph)))
+            e = np.asarray(lie.matrix_to_euler_xyz(jnp.asarray(Rph)))
             lines.append(f"{image_names.get(im, str(im))}.jpg "
                          f"{c[0]:.12f} {c[1]:.12f} {c[2]:.12f} "
                          f"{e[0]:.12f} {e[1]:.12f} {e[2]:.12f}")

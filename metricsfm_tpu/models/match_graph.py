@@ -11,11 +11,17 @@ graph/fine_matching_graph.cc):
   (ratio<0.6) estimate F via batched RANSAC, then "all" matches
   (ratio<0.85) are re-filtered by epipolar distance < 3 px
   (fine_matching_graph.cc:137-147).
+* The driver is BATCHED: candidate pairs are stacked into (B, N, ...) pair
+  batches and the whole match->RANSAC->refilter chain runs as ONE jitted
+  dispatch per batch (optionally shard_mapped over the mesh `data` axis) —
+  the TPU replacement for the reference's OpenMP loop over pairs
+  (fine_matching_graph.cc:87).
 * Per-pair match shards persist for resume (match_index semantics).
 """
 from __future__ import annotations
 
 import itertools
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -64,20 +70,74 @@ def candidates_bow(sim: np.ndarray, min_c: int = 200, max_c: int = 500
     return sorted(pairs)
 
 
+def _pair_verifier(ratio_good: float, ratio_all: float, th_px: float,
+                   min_inliers: int, budget: int, chunk: int):
+    """The per-pair fine-matching + verification chain as a pure function
+    suitable for vmap/shard_map (ref fine_matching_graph.cc:104-147).
+
+    Returns (keep (N,) bool, idx2 (N,) int32, n_keep int32, ok bool).
+    """
+    import jax.numpy as jnp
+
+    def one(d1, d2, m1, m2, p1, p2, key):
+        res = matching.match_pair(d1, d2, m1, m2, ratio_good, ratio_all,
+                                  chunk=chunk)
+        p2g = p2[res["idx2"]]
+        fr = ransac.fundamental_ransac(p1, p2g, key, mask=res["good"],
+                                       th_px=th_px, min_inliers=min_inliers)
+        d = epipolar.epipolar_distance(fr["F"], p1, p2g)
+        keep = res["all"] & (d < th_px)
+        # fixed per-pair match budget (GraphOptions.max_matches_per_pair):
+        # keep the `budget` smallest descriptor distances among survivors
+        if budget < keep.shape[0]:
+            dist = jnp.where(keep, res["dist_sq"], jnp.inf)
+            kth = jnp.sort(dist)[budget - 1]
+            keep = keep & (dist <= kth)
+        ok = (fr["ok"] & (jnp.sum(res["good"]) >= 8)
+              & (jnp.sum(keep) >= min_inliers))
+        keep = keep & ok
+        return keep, res["idx2"], jnp.sum(keep), ok
+
+    return one
+
+
 class MatchGraphBuilder:
-    """Build the verified match graph over candidate pairs."""
+    """Build the verified match graph over candidate pairs (batched)."""
 
     def __init__(self, options: GraphOptions, out_fold: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, batch_pairs: int = 32, mesh=None):
         import jax
         self.opts = options
         self.out = out_fold
         self.key = jax.random.PRNGKey(seed)
+        self.batch_pairs = batch_pairs
+        self.mesh = mesh
+        self._verify_cache = {}
 
     def _next_key(self):
         import jax
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _batched_verifier(self, chunk: int):
+        """jit(vmap(one)) or shard_map(vmap(one)) over the mesh data axis."""
+        import jax
+        if chunk in self._verify_cache:
+            return self._verify_cache[chunk]
+        one = _pair_verifier(self.opts.ratio_good, self.opts.ratio_all,
+                             self.opts.epipolar_px,
+                             self.opts.geoverify_min_inliers,
+                             self.opts.max_matches_per_pair, chunk)
+        fn = jax.vmap(one)
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            spec = P("data")
+            fn = jax.shard_map(fn, mesh=self.mesh,
+                               in_specs=(spec,) * 7,
+                               out_specs=(spec, spec, spec, spec))
+        fn = jax.jit(fn)
+        self._verify_cache[chunk] = fn
+        return fn
 
     def match_one_pair(self, feat_i, feat_j) -> Optional[PairMatches]:
         """Fine matching for one pair (ref fine_matching_graph.cc:104-147)."""
@@ -113,38 +173,105 @@ class MatchGraphBuilder:
               verbose: bool = False) -> Dict[Tuple[int, int], PairMatches]:
         """Match every candidate pair (resume-aware when out_fold set).
 
-        `features` maps image id -> ImageFeatures with descriptors.
+        `features` maps image id -> ImageFeatures with descriptors.  Pairs
+        are processed in (B, N, D) batches through ONE jitted dispatch per
+        batch — the whole 2-NN + ratio + F-RANSAC + epipolar-refilter chain
+        stays on device; only the compressed (kp_i, kp_j) lists come back.
         """
+        import jax
+        import jax.numpy as jnp
+
         out: Dict[Tuple[int, int], PairMatches] = {}
-        for n_done, (i, j) in enumerate(pairs):
+        todo: List[Tuple[int, int]] = []
+        for (i, j) in pairs:
             if self.out is not None and fstore.has_matches(self.out, i, j):
                 cached = fstore.read_matches(self.out, i, j)
                 if len(cached["kp_i"]):
                     out[(i, j)] = PairMatches(kp_i=cached["kp_i"],
                                               kp_j=cached["kp_j"])
                 continue
-            m = self.match_one_pair(features[i], features[j])
-            if self.out is not None:
-                fstore.write_matches(
-                    self.out, i, j,
-                    m.kp_i if m else np.empty(0, np.int64),
-                    m.kp_j if m else np.empty(0, np.int64))
-            if m is not None:
-                out[(i, j)] = m
-            if verbose and n_done % 20 == 0:
-                print(f"matching {n_done}/{len(pairs)}")
+            todo.append((i, j))
+
+        if todo:
+            # one shared keypoint budget N: all images pad to the max K
+            # (rounded up to a lane multiple) so every batch hits one
+            # compiled shape
+            imgs = sorted({i for p in todo for i in p})
+            kmax = max(int(features[i].mask.shape[0]) for i in imgs)
+            N = -(-kmax // 128) * 128
+            D = features[imgs[0]].desc.shape[1]
+            padded = {}
+            for i in imgs:
+                f = features[i]
+                k = f.mask.shape[0]
+                desc = np.zeros((N, D), np.float32)
+                desc[:k] = f.desc
+                xy = np.zeros((N, 2), np.float32)
+                xy[:k] = f.xy
+                mask = np.zeros((N,), bool)
+                mask[:k] = f.mask
+                padded[i] = (desc, xy, mask)
+
+            B = self.batch_pairs
+            if self.mesh is not None:
+                nd = int(np.prod([self.mesh.shape[a] for a in
+                                  self.mesh.axis_names]))
+                B = -(-B // nd) * nd
+            verify = self._batched_verifier(chunk=min(2048, N))
+            n_batches = -(-len(todo) // B)
+            for bi in range(n_batches):
+                chunk_pairs = todo[bi * B:(bi + 1) * B]
+                nb = len(chunk_pairs)
+                fill = chunk_pairs + [chunk_pairs[-1]] * (B - nb)
+                d1 = np.stack([padded[i][0] for i, _ in fill])
+                d2 = np.stack([padded[j][0] for _, j in fill])
+                x1 = np.stack([padded[i][1] for i, _ in fill])
+                x2 = np.stack([padded[j][1] for _, j in fill])
+                m1 = np.stack([padded[i][2] for i, _ in fill])
+                m2 = np.stack([padded[j][2] for _, j in fill])
+                keys = jax.random.split(self._next_key(), B)
+                args = (d1, d2, m1, m2, x1, x2, keys)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    sh = NamedSharding(self.mesh, P("data"))
+                    args = tuple(jax.device_put(jnp.asarray(a), sh)
+                                 for a in args)
+                keep, idx2, n_keep, ok = verify(*args)
+                keep = np.asarray(keep)
+                idx2 = np.asarray(idx2)
+                ok = np.asarray(ok)
+                for b, (i, j) in enumerate(chunk_pairs):
+                    if ok[b]:
+                        kp_i = np.where(keep[b])[0]
+                        m = PairMatches(kp_i=kp_i.astype(np.int64),
+                                        kp_j=idx2[b][kp_i].astype(np.int64))
+                        out[(i, j)] = m
+                    else:
+                        m = None
+                    if self.out is not None:
+                        fstore.write_matches(
+                            self.out, i, j,
+                            m.kp_i if m else np.empty(0, np.int64),
+                            m.kp_j if m else np.empty(0, np.int64))
+                if verbose:
+                    print(f"matching batch {bi + 1}/{n_batches} "
+                          f"({min((bi + 1) * B, len(todo))}/{len(todo)} pairs)")
+
         if self.out is not None:
             fstore.write_match_graph(
                 self.out, {k: len(v.kp_i) for k, v in out.items()})
         return out
 
 
-def build_match_graph(database, config, verbose: bool = False):
+def build_match_graph(database, config, verbose: bool = False, mesh=None):
     """End-to-end graph build (ref Graph::BuildGraph, graph.cc:52-70).
 
     Chooses the candidate strategy from config.graph.matching_type, runs
-    fine matching, returns {(i, j): PairMatches}.
+    batched fine matching, returns {(i, j): PairMatches}.  When more than
+    one device is visible, pair batches shard over a `data` mesh axis
+    (the reference's OpenMP axis, SURVEY §2.11).
     """
+    import jax
     import jax.numpy as jnp
     from ..ops import kmeans as km
     from ..utils import utm as utm_util
@@ -167,6 +294,9 @@ def build_match_graph(database, config, verbose: bool = False):
         pairs = candidates_bow(sim, opts.min_candidates, opts.max_candidates)
     if verbose:
         print(f"match graph: {len(pairs)} candidate pairs for {n} images")
-    builder = MatchGraphBuilder(opts, out_fold=database.out)
+    if mesh is None and jax.device_count() > 1:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+    builder = MatchGraphBuilder(opts, out_fold=database.out, mesh=mesh)
     feats = {i: database.features(i) for i in range(n)}
     return builder.build(feats, pairs, verbose=verbose)

@@ -161,6 +161,36 @@ def matrix_to_euler_zyx(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([roll, pitch, yaw], axis=-1)
 
 
+def euler_xyz_to_matrix(euler: jnp.ndarray) -> jnp.ndarray:
+    """Euler (rx, ry, rz) -> R = Rx @ Ry @ Rz (X-Y-Z intrinsic order).
+
+    This is the convention of the reference's EulerAnglesToRotationMatrix /
+    RotationMatrixToEulerAngles pair used by the MSP `.qin` writer
+    (SfM/src/utils/basic_funcs.cc:245-249): R02 = sin(ry),
+    R12 = -sin(rx)cos(ry), R01 = -cos(ry)sin(rz).
+    """
+    rx, ry, rz = euler[..., 0], euler[..., 1], euler[..., 2]
+    cx, sx = jnp.cos(rx), jnp.sin(rx)
+    cy, sy = jnp.cos(ry), jnp.sin(ry)
+    cz, sz = jnp.cos(rz), jnp.sin(rz)
+    row0 = jnp.stack([cy * cz, -cy * sz, sy], axis=-1)
+    row1 = jnp.stack([cx * sz + sx * sy * cz, cx * cz - sx * sy * sz,
+                      -sx * cy], axis=-1)
+    row2 = jnp.stack([sx * sz - cx * sy * cz, sx * cz + cx * sy * sz,
+                      cx * cy], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def matrix_to_euler_xyz(R: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of euler_xyz_to_matrix — the reference's
+    RotationMatrixToEulerAngles (SfM/src/utils/basic_funcs.cc:245-249):
+    rx = atan2(-R12, R22), ry = asin(R02), rz = atan2(-R01, R00)."""
+    rx = jnp.arctan2(-R[..., 1, 2], R[..., 2, 2])
+    ry = jnp.arcsin(jnp.clip(R[..., 0, 2], -1.0, 1.0))
+    rz = jnp.arctan2(-R[..., 0, 1], R[..., 0, 0])
+    return jnp.stack([rx, ry, rz], axis=-1)
+
+
 def project_to_so3(M: jnp.ndarray) -> jnp.ndarray:
     """Nearest rotation matrix (Frobenius) via SVD with det correction."""
     U, _, Vt = jnp.linalg.svd(M)

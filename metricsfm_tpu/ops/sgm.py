@@ -54,7 +54,7 @@ def census_transform(img, win_h: int = 9, win_w: int = 7):
 
 
 def matching_cost_volume(census_l, census_r, max_disp: int):
-    """(H, W, D) int16 Hamming-distance cost volume, D = max_disp.
+    """(H, W, D) float32 Hamming-distance cost volume, D = max_disp.
 
     cost(x, y, d) = popcount(census_l(x, y) ^ census_r(x - d, y)); out-of-
     range disparities get the max cost (64). census inputs are (2, H, W).
@@ -131,11 +131,19 @@ def _shift_carry(prev, direction: int):
     return jnp.concatenate([prev[1:], fill], axis=0)
 
 
-def aggregate_paths(cost, p1: float = 10.0, p2: float = 120.0,
+def aggregate_paths(cost, p1: int = 10, p2: int = 120,
                     num_paths: int = 8):
     """Sum of 4 or 8 directional aggregations (ref path_aggregation.cu).
 
-    cost: (H, W, D) int16 Hamming volume.  Returns int16 (H, W, D).
+    cost: (H, W, D) Hamming volume.  Returns (H, W, D): float32 on the TPU
+    (Pallas) branch, int16 on the lax.scan fallback — values are small exact
+    integers in both, only the vector-friendly storage dtype differs.
+    p1/p2 are integer penalties (ref libsgm uses ints); float inputs are
+    truncated via int().
+
+    Dispatch follows jax.default_backend() — the *process* default, not the
+    placement of `cost`; under jax.default_device(cpu) on a TPU host the
+    Pallas branch is still chosen.
 
     On TPU this runs as two fused Pallas kernels in the natural layout
     (pallas/sgm_kernel.py) — the lax.scan path below pays a fixed dispatch
@@ -244,17 +252,20 @@ def lr_consistency(disp_l, disp_r, max_diff: float = 1.0):
 
 @partial(jax.jit, static_argnames=("max_disp", "num_paths", "subpixel",
                                    "p1", "p2"))
-def stereo_sgm(left, right, max_disp: int = 128, p1: float = 10.0,
-               p2: float = 120.0, uniqueness: float = 0.96,
+def stereo_sgm(left, right, max_disp: int = 128, p1: int = 10,
+               p2: int = 120, uniqueness: float = 0.96,
                num_paths: int = 8, subpixel: bool = True):
     """Full SGM pipeline on a rectified pair (public API mirrors
     sgm::StereoSGM::execute, dense/cudasgm/include/libsgm.h).
 
     Args:
       left, right: (H, W) float images in [0, 1].
+      p1, p2: integer SGM penalties (static jit args, like the reference's
+        libsgm params; non-integer values are truncated).
     Returns:
       (disp (H, W) float32 with invalid = -1, valid (H, W) bool).
     """
+    p1, p2 = int(p1), int(p2)
     cl = census_transform(left)
     cr = census_transform(right)
     cost_l = matching_cost_volume(cl, cr, max_disp)

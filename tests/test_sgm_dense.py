@@ -79,6 +79,21 @@ def test_aggregate_paths_matches_bruteforce(rng, num_paths):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("num_paths", [4, 8])
+def test_aggregate_paths_pallas_interpret_matches_bruteforce(rng, num_paths):
+    """Pins the Pallas kernel logic (D/W/H padding, carry-shift diagonals)
+    on any backend via interpret mode — the TPU branch of aggregate_paths
+    otherwise goes untested on CPU CI."""
+    from metricsfm_tpu.ops.pallas.sgm_kernel import aggregate_paths_pallas
+    cost = rng.integers(0, 64, size=(10, 12, 8)).astype(np.float32)
+    want = _aggregate_bruteforce(cost.astype(np.int16), num_paths=num_paths)
+    got = np.asarray(aggregate_paths_pallas(jnp.asarray(cost),
+                                            num_paths=num_paths,
+                                            interpret=True,
+                                            storage=jnp.float32))
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
 def test_census_hamming(rng):
     img = jnp.asarray(rng.uniform(0, 1, size=(32, 40)).astype(np.float32))
     c = sgm.census_transform(img)
