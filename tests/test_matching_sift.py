@@ -114,10 +114,34 @@ def test_knn2_pallas_matches_xla(rng):
     mask2[450:] = False
 
     p1, p2, pidx = knn2_pallas(jnp.asarray(d1), jnp.asarray(d2),
-                               jnp.asarray(mask2), bq=128, bd=256,
+                               jnp.asarray(mask2), bq=128,
                                interpret=True)
     x1, x2, xidx = matching.knn2(jnp.asarray(d1), jnp.asarray(d2),
                                  jnp.asarray(mask2))
     assert float((np.asarray(pidx) == np.asarray(xidx)).mean()) > 0.999
+    assert int(np.asarray(pidx).max()) < 450  # mask respected
     np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), atol=2e-2)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(x2), atol=2e-2)
+
+
+def test_knn2_pallas_batched_vmap(rng):
+    """vmap over the Pallas kernel (the production batching path) agrees
+    with per-pair XLA results."""
+    import jax
+    import jax.numpy as jnp
+    from metricsfm_tpu.ops import matching
+    from metricsfm_tpu.ops.pallas.match_kernel import _knn2_pallas_impl
+
+    B, N = 3, 256
+    d1 = rng.normal(size=(B, N, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = rng.normal(size=(B, N, 128)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    fn = jax.vmap(lambda a, b: _knn2_pallas_impl(a, b, bq=128,
+                                                 interpret=True))
+    p1, p2, pidx = fn(jnp.asarray(d1), jnp.asarray(d2))
+    for b in range(B):
+        x1, x2, xidx = matching.knn2(jnp.asarray(d1[b]), jnp.asarray(d2[b]))
+        # quantized packing (2^-17) may flip argmax on near-exact ties
+        assert float((np.asarray(pidx[b]) == np.asarray(xidx)).mean()) > 0.99
+        np.testing.assert_allclose(np.asarray(p1[b]), np.asarray(x1), atol=2e-2)
