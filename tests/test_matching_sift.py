@@ -145,3 +145,67 @@ def test_knn2_pallas_batched_vmap(rng):
         # quantized packing (2^-17) may flip argmax on near-exact ties
         assert float((np.asarray(pidx[b]) == np.asarray(xidx)).mean()) > 0.99
         np.testing.assert_allclose(np.asarray(p1[b]), np.asarray(x1), atol=2e-2)
+
+
+def _blob_image(centers, H=128, W=128, s=2.5):
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W), np.float32)
+    for cy, cx, a in centers:
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img -= img.min()
+    m = img.max()
+    return img / m if m > 0 else img
+
+
+def test_sift_subpixel_repeatability(rng):
+    """3D quadratic refinement (vlfeat vl_sift semantics): keypoints on an
+    analytically shifted scene must track a 0.5-px shift to < 0.2 px."""
+    centers = [(rng.uniform(20, 108), rng.uniform(20, 108),
+                rng.uniform(0.5, 1.0) * rng.choice([-1, 1]))
+               for _ in range(25)]
+    shifted = [(cy + 0.5, cx + 0.5, a) for cy, cx, a in centers]
+    cfg = sift.SiftConfig(n_octaves=3, max_keypoints=256)
+    o1 = sift.extract(jnp.asarray(_blob_image(centers)), cfg)
+    o2 = sift.extract(jnp.asarray(_blob_image(shifted)), cfg)
+    xy1 = np.asarray(o1["xy"])[np.asarray(o1["mask"])]
+    xy2 = np.asarray(o2["xy"])[np.asarray(o2["mask"])]
+    assert len(xy1) > 10 and len(xy2) > 10
+    # for each kp in img1, its nearest neighbour in img2 should sit at
+    # +(0.5, 0.5) to subpixel accuracy
+    d = np.linalg.norm(xy2[None, :, :] - (xy1[:, None, :] + 0.5), axis=-1)
+    nn = d.min(axis=1)
+    matched = nn[nn < 1.0]
+    assert len(matched) >= 0.5 * len(xy1)
+    assert np.median(matched) < 0.2
+
+
+def test_sift_multi_orientation_slots(rng):
+    """The 80%-peak rule emits secondary-orientation slots sharing the
+    primary's location but with a different angle."""
+    img = checkerboard_image(rng, H=160, W=160)
+    cfg = sift.SiftConfig(n_octaves=3, max_keypoints=512)
+    out = sift.extract(jnp.asarray(img), cfg)
+    xy = np.asarray(out["xy"])[np.asarray(out["mask"])]
+    ang = np.asarray(out["angle"])[np.asarray(out["mask"])]
+    # find location-duplicate pairs (same detection, two orientations)
+    d = np.linalg.norm(xy[None] - xy[:, None], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    i, j = np.where(d < 1e-4)
+    dup = [(a, b) for a, b in zip(i, j) if a < b]
+    assert len(dup) >= 1
+    for a, b in dup[:20]:
+        diff = np.abs((ang[a] - ang[b] + np.pi) % (2 * np.pi) - np.pi)
+        assert diff > 0.3  # genuinely different orientations
+
+
+def test_sift_refined_sigma_off_grid(rng):
+    """Scale refinement produces sigmas off the discrete k^lvl grid."""
+    img = checkerboard_image(rng)
+    cfg = sift.SiftConfig(n_octaves=3, max_keypoints=256)
+    out = sift.extract(jnp.asarray(img), cfg)
+    sig = np.asarray(out["sigma"])[np.asarray(out["mask"])]
+    k = 2.0 ** (1.0 / cfg.n_scales)
+    # distance to the nearest discrete level in log space
+    logs = np.log(sig / cfg.sigma0) / np.log(k)
+    off = np.abs(logs - np.round(logs))
+    assert (off > 0.05).mean() > 0.5
