@@ -108,6 +108,10 @@ class SLAMGPSOptions:
     epipolar_px: float = 2.0
     min_track_views: int = 3            # keep tracks with ≥3 views (ref :655)
     resize_ratio: float = 0.5
+    # windowed re-matching + re-triangulation stage — off by default, like
+    # the reference's disabled FeatureMatching call (slam_gps.cc:103)
+    rematch: bool = False
+    use_slam_pt: bool = False           # append new tracks to SLAM points (ref :656-663)
     gps_weight_z_scale: float = 0.2     # z error down-weighted ×1/5 (gps_error_pose_absolute.h:41)
     ba_threads: int = 8                 # informational; TPU path is data-parallel
     # GPS relative constraints over consecutive camera triples — off by

@@ -155,11 +155,27 @@ def turn_weights(gps: np.ndarray, window: int = 20, max_deg: float = 80.0
 class SLAMGPS:
     """The SLAMGPS::Run pipeline (slam_gps.cc:63-137)."""
 
-    def __init__(self, config: PipelineConfig):
+    def __init__(self, config: PipelineConfig, seed: int = 0):
+        import jax
         self.cfg = config
         self.gps_offset = np.zeros(3)
+        self.key = jax.random.PRNGKey(seed)
 
-    def run(self, fold: str, verbose: bool = False) -> Scene:
+    def _next_key(self):
+        import jax
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def run(self, fold: str, verbose: bool = False,
+            features: Optional[Dict[int, object]] = None,
+            rematch: Optional[bool] = None) -> Scene:
+        """Full pipeline.  When `rematch` is enabled (or keyframe images are
+        on disk and self.cfg.slam.rematch is True), keyframe features are
+        extracted (ref FeatureExtraction, slam_gps.cc:290-310), re-matched
+        within the +-matching_window under prior F/H gates (:312-555), and
+        tracks are re-triangulated with the >=min_track_views filter
+        (:557-668).  `features` may inject precomputed ImageFeatures keyed
+        by camera row (tests / precomputed stores)."""
         slam = read_slam(os.path.join(fold, "KeyFramePts.txt"),
                          self.cfg.slam.resize_ratio)
         gps_info = read_gps(os.path.join(fold, "pos.txt"))
@@ -174,6 +190,15 @@ class SLAMGPS:
 
         scene = self._build_scene(slam)
         self._align_global(scene, cams_gps, verbose)
+        do_rematch = self.cfg.slam.rematch if rematch is None else rematch
+        if do_rematch:
+            if features is None:
+                features = self.feature_extraction(fold, slam, verbose)
+            if features:
+                matches = self.feature_matching(scene, features, verbose)
+                self.retriangulate(scene, matches, features,
+                                   use_slam_pt=self.cfg.slam.use_slam_pt,
+                                   verbose=verbose)
         self._gps_registration(scene, self._cams_gps_centered)
         info = self._gps_bundle(scene, self._cams_gps_centered)
         if verbose:
@@ -181,6 +206,225 @@ class SLAMGPS:
         self._accuracy_cull(scene, fold)
         self._exports(fold, scene, slam)
         return scene
+
+    # -- keyframe features + windowed matching + re-triangulation ---------
+    def feature_extraction(self, fold: str, slam: SLAMInput, verbose=False):
+        """SIFT over the keyframe images (ref slam_gps.cc:290-310: Database
+        extraction with resize=false).  Returns {cam_row: ImageFeatures} or
+        None when the image folder is absent."""
+        import dataclasses
+        from .database import Database
+
+        img_fold = os.path.join(fold, "image")
+        if not os.path.isdir(img_fold):
+            return None
+        opts = dataclasses.replace(self.cfg.database, resize=False)
+        db = Database(img_fold, opts,
+                      output_fold=os.path.join(fold, "feature"))
+        if db.n_images == 0:
+            return None
+        db.feature_extraction(verbose=verbose)
+        # map cam rows to database rows by keyframe name (zero-padded id)
+        by_name = {os.path.basename(p).rsplit(".", 1)[0]: k
+                   for k, p in enumerate(db.image_paths)}
+        feats = {}
+        for r, cid in enumerate(slam.cam_ids):
+            k = by_name.get(str(int(cid)).zfill(6))
+            if k is None:
+                return None
+            feats[r] = db.features(k)
+        return feats
+
+    def window_match_priors(self, scene: Scene, verbose=False):
+        """Step 1 of ref FeatureMatching (slam_gps.cc:324-420): for every
+        in-window pair sharing >=20 SLAM tracks, estimate a prior F
+        (inliers >= max(0.5 n, 30)) and reject near-planar pairs where the
+        homography explains >90% of the F inliers.  Returns
+        {(i, j): (F 3x3, H 3x3)} in SLAM observation coordinates."""
+        from ..ops import homography as homog, ransac
+
+        win = self.cfg.slam.matching_window
+        th_epi = self.cfg.slam.epipolar_px / self.cfg.slam.resize_ratio
+        th_dist = 5.0 / self.cfg.slam.resize_ratio
+        imgs = scene.registered
+        C = len(imgs)
+        # per-camera track lists from the SLAM scene
+        cam_tracks: Dict[int, Dict[int, int]] = {i: {} for i in imgs}
+        for ti, tr in enumerate(scene.tracks):
+            for img, kp in tr.obs.items():
+                cam_tracks[img][ti] = kp
+        priors: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        for a in range(C):
+            i = imgs[a]
+            for b in range(max(a - win, 0), min(a + win + 1, C)):
+                if b <= a:
+                    continue
+                j = imgs[b]
+                shared = [t for t in cam_tracks[i] if t in cam_tracks[j]]
+                if len(shared) < 20:
+                    continue
+                p1 = np.stack([self.kp_xy[i][cam_tracks[i][t]] for t in shared])
+                p2 = np.stack([self.kp_xy[j][cam_tracks[j][t]] for t in shared])
+                n = len(shared)
+                pad = bucket(n, 64) - n
+                p1p = np.pad(p1, ((0, pad), (0, 0))).astype(np.float32)
+                p2p = np.pad(p2, ((0, pad), (0, 0))).astype(np.float32)
+                m = np.zeros(n + pad, bool)
+                m[:n] = True
+                fr = ransac.fundamental_ransac(
+                    jnp.asarray(p1p), jnp.asarray(p2p), self._next_key(),
+                    mask=jnp.asarray(m), th_px=th_epi, min_inliers=30)
+                n_f = int(fr["n_inliers"])
+                if n_f < max(0.5 * n, 30):
+                    continue
+                hr = homog.homography_ransac(
+                    jnp.asarray(p1p), jnp.asarray(p2p), self._next_key(),
+                    mask=jnp.asarray(m), th_px=th_dist)
+                if int(hr["n_inliers"]) > 0.9 * n_f:
+                    continue  # near-planar / degenerate pair
+                priors[(i, j)] = (np.asarray(fr["F"]), np.asarray(hr["H"]))
+        if verbose:
+            print(f"slam-gps priors: {len(priors)} windowed pairs")
+        return priors
+
+    def feature_matching(self, scene: Scene, features, verbose=False):
+        """Step 2 of ref FeatureMatching (slam_gps.cc:424-553): 2-NN from
+        image j's descriptors into image i (ratio 0.8), gated by the prior
+        F epipolar distance and the prior-H displacement, then F-RANSAC
+        geo-verification.  Returns {(i, j): (kp_i, kp_j) arrays}."""
+        from ..ops import matching
+        from ..utils import geo_verification as geo
+
+        priors = self.window_match_priors(scene, verbose)
+        th_epi = self.cfg.slam.epipolar_px / self.cfg.slam.resize_ratio
+        th_dist = 5.0 / self.cfg.slam.resize_ratio
+        ratio = self.cfg.slam.ratio_video
+        out: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        for (i, j), (F, Hm) in priors.items():
+            fi, fj = features[i], features[j]
+            res = matching.match_pair(
+                jnp.asarray(fj.desc), jnp.asarray(fi.desc),
+                jnp.asarray(fj.mask), jnp.asarray(fi.mask),
+                ratio_good=ratio, ratio_all=ratio)
+            idx_i = np.asarray(res["idx2"])          # per kp_j: best kp_i
+            keep = np.array(res["all"])              # writable host copy
+            p1 = fi.xy[idx_i]                        # (Kj, 2) in image i
+            p2 = fj.xy                               # (Kj, 2) in image j
+            # epipolar gate vs the prior F (ref :481-489)
+            l2 = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ F.T
+            epi = np.abs((l2[:, 0] * p2[:, 0] + l2[:, 1] * p2[:, 1]
+                          + l2[:, 2])) / np.maximum(
+                np.hypot(l2[:, 0], l2[:, 1]), 1e-9)
+            keep &= epi <= th_epi
+            # homography displacement gate (ref :492-499, 40*th_distance)
+            ph = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ Hm.T
+            ph = ph[:, :2] / np.maximum(np.abs(ph[:, 2:]), 1e-9) \
+                * np.sign(ph[:, 2:] + 1e-30)
+            keep &= np.hypot(*(ph - p2).T) <= 40 * th_dist
+            if keep.sum() < 8:
+                continue
+            # final geo-verification (ref GeoVerificationFundamental)
+            kp_j = np.where(keep)[0]
+            kp_i = idx_i[kp_j]
+            n = len(kp_j)
+            pad = bucket(n, 64) - n
+            g1 = np.pad(p1[kp_j], ((0, pad), (0, 0))).astype(np.float32)
+            g2 = np.pad(p2[kp_j], ((0, pad), (0, 0))).astype(np.float32)
+            gm = np.zeros(n + pad, bool)
+            gm[:n] = True
+            ok, inlier_mask, _ = geo.verify_fundamental(
+                jnp.asarray(g1), jnp.asarray(g2), self._next_key(),
+                mask=jnp.asarray(gm))
+            if not ok:
+                continue
+            inl = inlier_mask[:n]
+            out[(i, j)] = (kp_i[inl], kp_j[inl])
+            if verbose:
+                print(f"  slam match {i}-{j}: {int(inl.sum())} matches")
+        return out
+
+    def retriangulate(self, scene: Scene, matches, features,
+                      use_slam_pt: bool = False, verbose=False):
+        """Ref Triangulation (slam_gps.cc:557-668): union tracks over the
+        re-matched pairs via global keypoint ids, midpoint-triangulate, and
+        keep only tracks with >= min_track_views views that pass the
+        3-degree parallax and reprojection gates.  Replaces the SLAM tracks
+        (or appends to them when use_slam_pt)."""
+        import jax
+        from ..ops import triangulation as tri
+
+        idx_max = scene.idx_max
+        pts_map: Dict[int, int] = {}
+        new_tracks: List[Dict[int, int]] = []
+        for (i, j), (kp_i, kp_j) in sorted(matches.items()):
+            for a, b in zip(kp_i.tolist(), kp_j.tolist()):
+                g1 = i * idx_max + a
+                g2 = j * idx_max + b
+                t1 = pts_map.get(g1)
+                t2 = pts_map.get(g2)
+                if t1 is not None:
+                    new_tracks[t1][j] = b
+                    pts_map[g2] = t1
+                elif t2 is not None:
+                    new_tracks[t2][i] = a
+                    pts_map[g1] = t2
+                else:
+                    new_tracks.append({i: a, j: b})
+                    pts_map[g1] = pts_map[g2] = len(new_tracks) - 1
+
+        if not new_tracks:
+            return 0
+        # batched midpoint triangulation with gates (ref Trianglate2 +
+        # th_tri_angle=3deg; >=min_track_views filter at :643-647)
+        V = max(self.cfg.slam.min_track_views,
+                max(len(t) for t in new_tracks))
+        V = min(V, 16)
+        T = len(new_tracks)
+        poses_a = np.zeros((T, V, 6), np.float32)
+        intrs_a = np.zeros((T, V, 3), np.float32)
+        obs_a = np.zeros((T, V, 2), np.float32)
+        mask_a = np.zeros((T, V), bool)
+        model = scene.models[0]
+        for ti, t in enumerate(new_tracks):
+            for vi, (img, kp) in enumerate(list(t.items())[:V]):
+                poses_a[ti, vi] = scene.poses[img]
+                intrs_a[ti, vi] = [model.f, model.k1, model.k2]
+                obs_a[ti, vi] = features[img].xy[kp]
+                mask_a[ti, vi] = True
+        gate = jax.vmap(lambda p, k, o, m: tri.triangulate_and_gate(
+            p, k, o, m,
+            th_error_px=self.cfg.sfm.th_mse_reprojection,
+            th_angle_deg=self.cfg.sfm.th_angle_small))
+        xyz, ok, _ = gate(jnp.asarray(poses_a), jnp.asarray(intrs_a),
+                          jnp.asarray(obs_a), jnp.asarray(mask_a))
+        xyz = np.asarray(xyz)
+        ok = np.asarray(ok) & (mask_a.sum(1) >= self.cfg.slam.min_track_views)
+
+        if not use_slam_pt:
+            scene.tracks = []
+            for img in scene.registered:
+                scene.kp_to_track[img] = np.full(
+                    len(features[img].xy), -1, np.int64)
+        else:
+            for img in scene.registered:
+                old = scene.kp_to_track[img]
+                grown = np.full(max(len(old), len(features[img].xy)), -1,
+                                np.int64)
+                grown[:len(old)] = old
+                scene.kp_to_track[img] = grown
+        n_added = 0
+        for ti, t in enumerate(new_tracks):
+            if ok[ti]:
+                scene.add_track(xyz[ti], t)
+                n_added += 1
+        # downstream stages (GPS registration/BA/accuracy) now observe the
+        # feature keypoints instead of the synthetic SLAM observations
+        self.kp_xy = {r: np.asarray(features[r].xy, np.float64)
+                      for r in scene.registered}
+        if verbose:
+            print(f"slam-gps retriangulation: {n_added}/{T} tracks kept "
+                  f"(>= {self.cfg.slam.min_track_views} views)")
+        return n_added
 
     # ------------------------------------------------------------------
     def _build_scene(self, slam: SLAMInput) -> Scene:

@@ -132,3 +132,81 @@ def test_utm_roundtrip():
     lat2, lon2 = utm_util.utm_to_ll(e, n, zone)
     assert abs(lat - lat2) < 1e-6
     assert abs(lon - lon2) < 1e-6
+
+
+def synth_keyframe_features(rng, tmp_path, n_cams=20, n_pts=160,
+                            focal=800.0, desc_dim=128):
+    """Synthetic keyframe ImageFeatures consistent with synth_street's GT:
+    keypoints are centered full-res projections of a shared 3D point set,
+    descriptors are per-point unit vectors (+noise) so 2-NN recovers the
+    correspondence."""
+    from metricsfm_tpu.models.incremental import ImageFeatures
+
+    # regenerate the same GT trajectory as synth_street
+    centers, poses = [], []
+    for i in range(n_cams):
+        s_ = i * 2.0
+        c = np.array([s_, 0.05 * s_ ** 1.2, 1.5 + 0.01 * i])
+        yaw = 0.02 * i
+        R = np.array([[math.cos(yaw), 0, -math.sin(yaw)],
+                      [0, 1, 0],
+                      [math.sin(yaw), 0, math.cos(yaw)]])
+        look = np.array([[0, 0, 1.0], [0, 1, 0], [-1, 0, 0]]) @ R
+        poses.append((look, -look @ c))
+    pts = np.zeros((n_pts, 3))
+    pts[:, 0] = rng.uniform(0, n_cams * 2.0, n_pts)
+    pts[:, 1] = rng.uniform(-3, 3, n_pts)
+    pts[:, 2] = rng.uniform(3, 12, n_pts)
+    track_desc = rng.normal(size=(n_pts, desc_dim)).astype(np.float32)
+    track_desc /= np.linalg.norm(track_desc, axis=1, keepdims=True)
+
+    feats = {}
+    for i, (R, t) in enumerate(poses):
+        xy, desc = [], []
+        for p in range(n_pts):
+            xc = R @ pts[p] + t
+            if xc[2] < 0.5:
+                continue
+            u = focal * xc[0] / xc[2]
+            v = focal * xc[1] / xc[2]
+            if abs(u) < 640 and abs(v) < 360:
+                xy.append([u + rng.normal(0, 0.3), v + rng.normal(0, 0.3)])
+                d = track_desc[p] + rng.normal(0, 0.02, desc_dim).astype(np.float32)
+                desc.append(d / np.linalg.norm(d))
+        xy = np.array(xy, np.float32)
+        desc = np.array(desc, np.float32)
+        feats[i] = ImageFeatures(xy=xy, desc=desc,
+                                 mask=np.ones(len(xy), bool),
+                                 width=1280, height=720, focal_exif=focal)
+    return feats
+
+
+@pytest.mark.slow
+def test_slam_gps_rematch_retriangulate(tmp_path, rng):
+    """Windowed prior-gated matching + >=3-view re-triangulation
+    (ref slam_gps.cc:312-668): re-matching builds multi-view tracks from
+    keyframe features and every kept track has >= min_track_views views."""
+    centers, pts, (e0, n0) = synth_street(str(tmp_path), rng)
+    feats = synth_keyframe_features(rng, str(tmp_path))
+    cfg = street_preset()
+    pipe = sg.SLAMGPS(cfg)
+    scene = pipe.run(str(tmp_path), features=feats, rematch=True)
+
+    good = [t for t in scene.tracks if not t.is_bad]
+    assert len(good) >= 50, f"only {len(good)} re-triangulated tracks"
+    # the >=3-view filter must hold for every kept track
+    assert all(len(t.obs) >= cfg.slam.min_track_views for t in good)
+    # many tracks should have MORE than the 2 views the pairwise matches
+    # start with (union-find chained them through the window)
+    assert sum(len(t.obs) > 3 for t in good) > 10
+
+    # pipeline accuracy is preserved end-to-end with re-built tracks
+    est = []
+    for img in scene.registered:
+        c = np.asarray(projection.camera_center(
+            jnp.asarray(scene.poses[img], jnp.float32)))
+        est.append(pipe.convert_to_gps(c))
+    est = np.array(est)
+    gt = np.array([[e0 + c[0], n0 + c[1], 0.0] for c in centers])
+    err = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1)
+    assert np.median(err) < 1.0, f"median UTM error {np.median(err)}"
