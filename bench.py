@@ -145,6 +145,53 @@ def bench_sgm(H=512, W=640, max_disp=128, iters=10):
     return iters * H * W / 1e6 / (time.perf_counter() - t0)
 
 
+def bench_e2e(n_cams=8, width=1024, height=768, max_kp=4096):
+    """Images/s of the FULL pipeline (decode -> SIFT -> exhaustive matching
+    -> incremental reconstruction) on a rendered synthetic scene with known
+    ground truth; the run is only counted if it actually reconstructs
+    (ATE < 5% and all cameras registered).  This is the reference's
+    documented end-to-end usage (test_sfm.cc:22-73)."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from metricsfm_tpu.config import PRESETS
+    from metricsfm_tpu.models.database import Database
+    from metricsfm_tpu.models.incremental import IncrementalSfM
+    from metricsfm_tpu.models.match_graph import build_match_graph
+    from metricsfm_tpu.ops import np_geom
+    from metricsfm_tpu.utils import synth
+
+    scene = synth.render_scene(seed=0, n_cams=n_cams, width=width,
+                               height=height, focal=1.1 * width)
+    fold = tempfile.mkdtemp(prefix="mtpu_bench_e2e_")
+    try:
+        synth.write_scene_images(fold, scene)
+        cfg = PRESETS["web"]()
+        cfg = dataclasses.replace(
+            cfg,
+            database=dataclasses.replace(cfg.database, resize=False,
+                                         max_keypoints=max_kp),
+            graph=dataclasses.replace(cfg.graph, matching_type="all"))
+        t0 = time.perf_counter()
+        db = Database(fold, cfg.database)
+        db.feature_extraction()
+        matches = build_match_graph(db, cfg)
+        feats = {i: db.features(i) for i in range(db.n_images)}
+        scenes = IncrementalSfM(feats, matches, cfg).run()
+        dt = time.perf_counter() - t0
+        best = max(scenes, key=lambda s: len(s.registered)) if scenes else None
+        if best is None or len(best.registered) != n_cams:
+            return -1.0
+        est = np.stack([np_geom.camera_center(best.poses[i])
+                        for i in best.registered])
+        if synth.ate_vs_gt(est, scene["centers"][best.registered]) > 0.05:
+            return -1.0
+        return n_cams / dt
+    finally:
+        shutil.rmtree(fold, ignore_errors=True)
+
+
 def main():
     import jax
     from metricsfm_tpu.utils.cache import enable_compilation_cache
@@ -167,6 +214,10 @@ def main():
         sgm_mps = bench_sgm()
     except Exception:
         sgm_mps = -1.0
+    try:
+        e2e_ips = bench_e2e()
+    except Exception:
+        e2e_ips = -1.0
     platform = jax.devices()[0].platform
     baseline_ba_its = 10.0   # Ceres DENSE_SCHUR 1-thread CPU proxy (see docstring)
     print(json.dumps({
@@ -178,6 +229,7 @@ def main():
         "matched_pairs_per_s_pallas": round(pairs_pallas, 3),
         "sift_images_per_s": round(sift_s, 3),
         "sgm_megapixels_per_s": round(sgm_mps, 3),
+        "e2e_images_per_s": round(e2e_ips, 3),
         "platform": platform,
     }))
 

@@ -17,61 +17,89 @@ import sys
 
 
 def cmd_sfm(args):
+    import dataclasses
+
     from .config import PRESETS
     from .models.database import Database
     from .models.match_graph import build_match_graph
     from .models.incremental import IncrementalSfM
     from .io import exports
+    from .utils.tracing import GLOBAL_TRACER, span
 
     cfg = PRESETS[args.mode]()
+    # optional overrides (small test scenes / CPU runs)
+    if getattr(args, "max_kp", 0):
+        cfg = dataclasses.replace(cfg, database=dataclasses.replace(
+            cfg.database, max_keypoints=args.max_kp))
+    if getattr(args, "no_resize", False):
+        cfg = dataclasses.replace(cfg, database=dataclasses.replace(
+            cfg.database, resize=False))
+    if getattr(args, "matching", None):
+        cfg = dataclasses.replace(cfg, graph=dataclasses.replace(
+            cfg.graph, matching_type=args.matching))
     db = Database(args.fold, cfg.database, output_fold=args.out)
     print(f"{db.n_images} images")
-    db.feature_extraction(verbose=True)
-    matches = build_match_graph(db, cfg, verbose=True)
+    with span("sfm/feature_extraction", block_jax=True):
+        db.feature_extraction(verbose=True)
+    with span("sfm/match_graph", block_jax=True):
+        matches = build_match_graph(db, cfg, verbose=True)
     feats = {i: db.features(i) for i in range(db.n_images)}
-    sfm = IncrementalSfM(feats, matches, cfg)
-    scenes = sfm.run(verbose=True)
+    with span("sfm/reconstruct", block_jax=True):
+        sfm = IncrementalSfM(feats, matches, cfg)
+        scenes = sfm.run(verbose=True)
     for k, scene in enumerate(scenes):
         fold = os.path.join(db.out, f"model_{k}")
         os.makedirs(fold, exist_ok=True)
         kp_xy = {i: feats[i].xy for i in scene.registered}
-        exports.write_cams_points(fold, scene)
-        exports.write_point_cloud(os.path.join(fold, "cloud.txt"), scene)
-        exports.write_bundler(os.path.join(fold, "bundle.rd.out"), scene, kp_xy)
-        exports.write_cmvs(os.path.join(fold, "cmvs"), scene, kp_xy)
-        names = {i: os.path.basename(db.image_paths[i])
-                 for i in scene.registered}
-        principal = {i: (feats[i].width / 2.0, feats[i].height / 2.0)
+        with span("sfm/exports"):
+            exports.write_cams_points(fold, scene)
+            exports.write_point_cloud(os.path.join(fold, "cloud.txt"), scene)
+            exports.write_bundler(os.path.join(fold, "bundle.rd.out"), scene,
+                                  kp_xy)
+            exports.write_cmvs(os.path.join(fold, "cmvs"), scene, kp_xy)
+            names = {i: os.path.basename(db.image_paths[i])
                      for i in scene.registered}
-        sizes = {i: (feats[i].width, feats[i].height)
-                 for i in scene.registered}
-        exports.write_openmvs(os.path.join(fold, "sfm_openmvs.txt"), scene,
-                              kp_xy, names, principal, sizes)
-        exports.write_sure(os.path.join(fold, "sfm_sure.txt"), scene, names,
-                           principal, sizes)
-        exports.write_undistorted_images(
-            os.path.join(fold, "undistort_images"), scene,
-            {i: db.image_paths[i] for i in scene.registered})
+            principal = {i: (feats[i].width / 2.0, feats[i].height / 2.0)
+                         for i in scene.registered}
+            sizes = {i: (feats[i].width, feats[i].height)
+                     for i in scene.registered}
+            exports.write_openmvs(os.path.join(fold, "sfm_openmvs.txt"),
+                                  scene, kp_xy, names, principal, sizes)
+            exports.write_sure(os.path.join(fold, "sfm_sure.txt"), scene,
+                               names, principal, sizes)
+            exports.write_undistorted_images(
+                os.path.join(fold, "undistort_images"), scene,
+                {i: db.image_paths[i] for i in scene.registered})
         print(f"model {k}: {len(scene.registered)} cams, "
               f"{scene.n_points()} points -> {fold}")
+    print("-- stage times --")
+    print(GLOBAL_TRACER.report())
 
 
 def cmd_slam(args):
     from .config import street_preset
     from .models.slam_gps import SLAMGPS
+    from .utils.tracing import GLOBAL_TRACER, span
 
     pipe = SLAMGPS(street_preset())
-    scene = pipe.run(args.fold, verbose=True)
+    with span("slam/run", block_jax=True):
+        scene = pipe.run(args.fold, verbose=True)
     print(f"{len(scene.registered)} cams, {scene.n_points()} points")
+    print("-- stage times --")
+    print(GLOBAL_TRACER.report())
 
 
 def cmd_dense(args):
     from .config import DenseOptions
     from .models.dense import DenseReconstruction
+    from .utils.tracing import GLOBAL_TRACER, span
 
     dr = DenseReconstruction(DenseOptions(disp_size=args.disp,
                                           method=args.method))
-    dr.run(args.fold, pose_file=args.pose_file, verbose=True)
+    with span("dense/run", block_jax=True):
+        dr.run(args.fold, pose_file=args.pose_file, verbose=True)
+    print("-- stage times --")
+    print(GLOBAL_TRACER.report())
 
 
 def cmd_calib(args):
@@ -109,6 +137,12 @@ def main(argv=None):
     ps.add_argument("fold")
     ps.add_argument("--mode", choices=["web", "uav"], default="web")
     ps.add_argument("--out", default=None)
+    ps.add_argument("--max-kp", type=int, default=0,
+                    help="override keypoint budget per image")
+    ps.add_argument("--no-resize", action="store_true",
+                    help="skip resize to the working resolution")
+    ps.add_argument("--matching", choices=["all", "priori", "feature"],
+                    default=None, help="override candidate strategy")
     ps.set_defaults(fn=cmd_sfm)
 
     pl = sub.add_parser("slam", help="GPS-aided SLAM refinement")

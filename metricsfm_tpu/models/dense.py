@@ -123,26 +123,31 @@ class DenseReconstruction:
             from .database import load_image_gray
             return load_image_gray(os.path.join(fold, name))[0]
 
+        from ..utils.tracing import span
+
         clouds = []
         for i in range(len(poses) - 1):
             a, b = poses[i], poses[i + 1]
-            img1 = load(a.name)
-            img2 = load(b.name)
-            Rn, Kn, H1, H2, baseline = rectify_pair(
-                a.K, a.R, a.t, b.K, b.R, b.t)
-            r1 = warp_homography(img1, np.linalg.inv(H1))
-            r2 = warp_homography(img2, np.linalg.inv(H2))
-            if self.opts.method == "elas":
-                ep = elas_ops.middlebury_params() \
-                    if self.opts.elas_setting == "middlebury" \
-                    else elas_ops.ElasParams()
-                disp, valid = elas_ops.stereo_elas(
-                    r1, r2, max_disp=self.opts.disp_size, params=ep)
-            else:
-                disp, valid = sgm_ops.stereo_sgm(
-                    r1, r2, max_disp=self.opts.disp_size, p1=self.opts.p1,
-                    p2=self.opts.p2, uniqueness=self.opts.uniqueness,
-                    num_paths=self.opts.num_paths)
+            with span("dense/load_images"):
+                img1 = load(a.name)
+                img2 = load(b.name)
+            with span("dense/rectify"):
+                Rn, Kn, H1, H2, baseline = rectify_pair(
+                    a.K, a.R, a.t, b.K, b.R, b.t)
+                r1 = warp_homography(img1, np.linalg.inv(H1))
+                r2 = warp_homography(img2, np.linalg.inv(H2))
+            with span("dense/stereo", block_jax=True):
+                if self.opts.method == "elas":
+                    ep = elas_ops.middlebury_params() \
+                        if self.opts.elas_setting == "middlebury" \
+                        else elas_ops.ElasParams()
+                    disp, valid = elas_ops.stereo_elas(
+                        r1, r2, max_disp=self.opts.disp_size, params=ep)
+                else:
+                    disp, valid = sgm_ops.stereo_sgm(
+                        r1, r2, max_disp=self.opts.disp_size, p1=self.opts.p1,
+                        p2=self.opts.p2, uniqueness=self.opts.uniqueness,
+                        num_paths=self.opts.num_paths)
             f_rect = float(Kn[0, 0])
             depth = sgm_ops.disparity_to_depth(
                 disp, f_rect, baseline, self.opts.depth_scale,

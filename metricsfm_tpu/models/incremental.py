@@ -33,6 +33,7 @@ from ..ba import problem as ba_problem
 from ..ops import (epipolar, five_point, np_geom, pnp, projection, ransac,
                    triangulation)
 from .scene import CameraModel, Scene, bucket
+from ..utils.tracing import span
 
 
 @dataclass
@@ -470,7 +471,8 @@ class IncrementalSfM:
             else:
                 for s, i, j in ranked:
                     if i in remaining and j in remaining:
-                        scene = self._try_seed(i, j, remaining)
+                        with span("sfm/seed"):
+                            scene = self._try_seed(i, j, remaining)
                         if scene is not None:
                             break
                 if scene is None:
@@ -481,20 +483,27 @@ class IncrementalSfM:
 
             step = 0
             while True:
-                img, corr = self._select_next_image(scene, remaining)
+                with span("sfm/select_next"):
+                    img, corr = self._select_next_image(scene, remaining)
                 if img is None:
                     break
-                if not self._localize(scene, img, corr):
+                with span("sfm/localize"):
+                    ok = self._localize(scene, img, corr)
+                if not ok:
                     if verbose:
                         print(f"localize fail img={img}")
                     continue
                 remaining.discard(img)
-                n_new = self._triangulate_new(scene, img)
-                self._bundle(scene, full=False, around_img=img)
+                with span("sfm/triangulate_new"):
+                    n_new = self._triangulate_new(scene, img)
+                with span("sfm/partial_ba"):
+                    self._bundle(scene, full=False, around_img=img)
                 step += 1
                 if step % self.cfg.sfm.th_step_full_bundle_adjustment == 0:
-                    self._bundle(scene, full=True)
-                self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
+                    with span("sfm/full_ba"):
+                        self._bundle(scene, full=True)
+                with span("sfm/cull_outliers"):
+                    self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
                 if step % self.cfg.sfm.checkpoint_every == 0:
                     self._write_checkpoint(checkpoint_dir, model_idx, scene)
                 if verbose:

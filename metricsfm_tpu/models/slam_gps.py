@@ -176,35 +176,46 @@ class SLAMGPS:
         tracks are re-triangulated with the >=min_track_views filter
         (:557-668).  `features` may inject precomputed ImageFeatures keyed
         by camera row (tests / precomputed stores)."""
-        slam = read_slam(os.path.join(fold, "KeyFramePts.txt"),
-                         self.cfg.slam.resize_ratio)
-        gps_info = read_gps(os.path.join(fold, "pos.txt"))
-        frame_ids = read_frame_ids(os.path.join(fold, "rgb.txt"))
-        # cams_gps[i] = gps of the cam's frame (ref association quirk kept:
-        # index into the gps-bearing frame list by cam id)
-        frames_with_gps = [fid for fid in frame_ids if fid in gps_info]
-        cams_gps = np.array([gps_info[frames_with_gps[cid]]
-                             if cid < len(frames_with_gps)
-                             else gps_info[frames_with_gps[-1]]
-                             for cid in slam.cam_ids])
+        from ..utils.tracing import span
+
+        with span("slam/read_inputs"):
+            slam = read_slam(os.path.join(fold, "KeyFramePts.txt"),
+                             self.cfg.slam.resize_ratio)
+            gps_info = read_gps(os.path.join(fold, "pos.txt"))
+            frame_ids = read_frame_ids(os.path.join(fold, "rgb.txt"))
+            # cams_gps[i] = gps of the cam's frame (ref association quirk
+            # kept: index into the gps-bearing frame list by cam id)
+            frames_with_gps = [fid for fid in frame_ids if fid in gps_info]
+            cams_gps = np.array([gps_info[frames_with_gps[cid]]
+                                 if cid < len(frames_with_gps)
+                                 else gps_info[frames_with_gps[-1]]
+                                 for cid in slam.cam_ids])
 
         scene = self._build_scene(slam)
-        self._align_global(scene, cams_gps, verbose)
+        with span("slam/align_global", block_jax=True):
+            self._align_global(scene, cams_gps, verbose)
         do_rematch = self.cfg.slam.rematch if rematch is None else rematch
         if do_rematch:
             if features is None:
-                features = self.feature_extraction(fold, slam, verbose)
+                with span("slam/feature_extraction", block_jax=True):
+                    features = self.feature_extraction(fold, slam, verbose)
             if features:
-                matches = self.feature_matching(scene, features, verbose)
-                self.retriangulate(scene, matches, features,
-                                   use_slam_pt=self.cfg.slam.use_slam_pt,
-                                   verbose=verbose)
-        self._gps_registration(scene, self._cams_gps_centered)
-        info = self._gps_bundle(scene, self._cams_gps_centered)
+                with span("slam/windowed_matching", block_jax=True):
+                    matches = self.feature_matching(scene, features, verbose)
+                with span("slam/retriangulate", block_jax=True):
+                    self.retriangulate(scene, matches, features,
+                                       use_slam_pt=self.cfg.slam.use_slam_pt,
+                                       verbose=verbose)
+        with span("slam/gps_registration", block_jax=True):
+            self._gps_registration(scene, self._cams_gps_centered)
+        with span("slam/gps_bundle", block_jax=True):
+            info = self._gps_bundle(scene, self._cams_gps_centered)
         if verbose:
             print("GPS BA:", {k: float(np.asarray(v)) for k, v in info.items()})
-        self._accuracy_cull(scene, fold)
-        self._exports(fold, scene, slam)
+        with span("slam/accuracy_cull", block_jax=True):
+            self._accuracy_cull(scene, fold)
+        with span("slam/exports"):
+            self._exports(fold, scene, slam)
         return scene
 
     # -- keyframe features + windowed matching + re-triangulation ---------
