@@ -188,7 +188,15 @@ class Database:
                 descs.append(f.desc[f.mask])
                 self.release(i)
             train = np.concatenate(descs)[:200000]
-            b1 = min(64, max(4, int(np.sqrt(len(train) // 16))))
+            # Honor voc_branch/voc_level (ref fbow k=10, L=6): the deep tree
+            # exists to give k^L leaf words, but materializing 10^6 128-D f32
+            # leaves is pointless when the training sample itself is ~2e5
+            # descriptors — so the TPU redesign is a two-level tree with the
+            # SAME target word count, capped by what the sample can support
+            # (>=8 training descriptors per word).
+            target_words = min(self.opts.voc_branch ** self.opts.voc_level,
+                               max(256, min(65536, len(train) // 8)))
+            b1 = max(2, int(np.ceil(np.sqrt(target_words))))
             voc = km.train_vocabulary(jnp.asarray(train), key,
                                       branch1=b1, branch2=b1)
             fstore.write_vocabulary(self.out, voc)

@@ -292,6 +292,18 @@ def build_match_graph(database, config, verbose: bool = False, mesh=None):
         sim = np.asarray(km.similarity_matrix(
             jnp.asarray(counts), stop_word_frac=opts.stop_word_frac))
         pairs = candidates_bow(sim, opts.min_candidates, opts.max_candidates)
+        if opts.word_seed_min_matches > 0:
+            # word-intersection pre-seeding: drop candidate pairs that
+            # cannot yield >= word_seed_min_matches word-co-occurrence seeds
+            # before paying for fine matching (ref
+            # initial_matching_graph.cc:210-289)
+            inter = np.asarray(
+                km.word_intersection_counts(jnp.asarray(counts)))
+            n0 = len(pairs)
+            pairs = [(i, j) for (i, j) in pairs
+                     if inter[i, j] >= opts.word_seed_min_matches]
+            if verbose and len(pairs) < n0:
+                print(f"word-seed gate: {n0} -> {len(pairs)} pairs")
     if verbose:
         print(f"match graph: {len(pairs)} candidate pairs for {n} images")
     if mesh is None and jax.device_count() > 1:

@@ -43,18 +43,43 @@ def _assign(desc, centroids):
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
+def _kmeanspp_init(desc, key, k: int, m):
+    """k-means++ seeding: each next center sampled with probability
+    proportional to squared distance from the chosen set.  Avoids the
+    Lloyd's local optima a uniform-row init falls into (two seeds in one
+    cluster leave another cluster uncovered)."""
+    N = desc.shape[0]
+    key, k0 = jax.random.split(key)
+    first = jax.random.choice(k0, N, p=m / jnp.sum(m))
+    cent = jnp.zeros((k,) + desc.shape[1:], desc.dtype).at[0].set(desc[first])
+    d2 = jnp.sum((desc - desc[first]) ** 2, axis=-1)
+
+    def body(i, carry):
+        cent, d2, key = carry
+        key, sub = jax.random.split(key)
+        p = d2 * m
+        p = p / jnp.maximum(jnp.sum(p), 1e-12)
+        idx = jax.random.choice(sub, N, p=p)
+        c = desc[idx]
+        cent = cent.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((desc - c) ** 2, axis=-1))
+        return cent, d2, key
+
+    cent, _, _ = jax.lax.fori_loop(1, k, body, (cent, d2, key))
+    return cent
+
+
 @partial(jax.jit, static_argnames=("k", "iters"))
 def kmeans(desc, key, k: int, iters: int = 20, mask=None):
-    """Lloyd's k-means on (N, D) rows; returns (k, D) centroids.
+    """Lloyd's k-means on (N, D) rows with k-means++ init; returns (k, D)
+    centroids.
 
-    Empty clusters re-seed from random rows (matching fbow's behavior of
+    Empty clusters re-seed from data rows (matching fbow's behavior of
     keeping k fixed).
     """
     N = desc.shape[0]
     m = jnp.ones((N,), desc.dtype) if mask is None else mask.astype(desc.dtype)
-    init_idx = jax.random.choice(key, N, shape=(k,), replace=False,
-                                 p=m / jnp.sum(m))
-    cent = desc[init_idx]
+    cent = _kmeanspp_init(desc, key, k, m)
 
     def body(i, cent):
         a = _assign(desc, cent)
@@ -124,19 +149,38 @@ def similarity_matrix(counts, stop_word_frac: float = 0.01):
     """Pairwise image similarity from BoW count rows (n_imgs, n_words).
 
     Inverted-file semantics as dense algebra (similarity_graph.cc:47-117):
-    words present in more than `stop_word_frac` of images are dropped as
-    stop words; rows are idf-weighted and L2-normalized; similarity is the
-    cosine matrix (one MXU matmul).  Diagonal zeroed.
+    a word whose inverted-file list is longer than stop_word_frac * n_words
+    images is dropped as a stop word (the reference's th_bin_size =
+    num_words_/100, GenerateInvertedFile condition 2 — note the threshold
+    is derived from the VOCABULARY size, not the image count); surviving
+    rows are idf-weighted and L2-normalized; similarity is the cosine
+    matrix (one MXU matmul).  Diagonal zeroed.
     """
     n = counts.shape[0]
+    n_words = counts.shape[1]
     present = (counts > 0).astype(jnp.float32)
     doc_freq = jnp.sum(present, axis=0)
-    keep = doc_freq <= jnp.maximum(stop_word_frac * n, 1.0)
+    keep = doc_freq <= jnp.maximum(stop_word_frac * n_words, 1.0)
     idf = jnp.log(jnp.maximum(n / jnp.maximum(doc_freq, 1.0), 1.0))
     w = counts * idf[None, :] * keep[None, :].astype(jnp.float32)
     w = w / jnp.maximum(jnp.linalg.norm(w, axis=1, keepdims=True), 1e-12)
     sim = jnp.dot(w, w.T, preferred_element_type=jnp.float32)
     return sim * (1.0 - jnp.eye(n))
+
+
+@jax.jit
+def word_intersection_counts(counts):
+    """Number of common distinct words per image pair, one MXU matmul.
+
+    The cheap pre-seeding gate of the reference's initial matching graph
+    (initial_matching_graph.cc:210-289: candidate pairs whose word-id
+    intersection yields fewer than ~30 seed matches are dropped before any
+    fine matching).  SIFT BoW histograms are near-binary at usable vocab
+    sizes, so presence-intersection (an (n_imgs, n_words) boolean matmul)
+    is the TPU-native equivalent of the reference's sorted-list walk.
+    """
+    present = (counts > 0).astype(jnp.float32)
+    return jnp.dot(present, present.T, preferred_element_type=jnp.float32)
 
 
 def top_candidates(sim, n_candidates: int):
