@@ -91,47 +91,161 @@ def _horizontal_kernel(in_f, in_b, out_f, out_b, carr_f, carr_b,
         carr_b[:] = nb
 
 
-def _vertical_kernel(in_f, in_b, out_f, out_b,
-                     cv_f, cd1_f, cd2_f, cv_b, cd1_b, cd2_b,
-                     *, k: int, p1: int, p2: int, diag: bool):
+def _vertical_fwd_kernel(in_c, in_hf, in_hb, out, cv, cd1, cd2,
+                         *, k: int, p1: int, p2: int, diag: bool):
+    """Down + down-right + down-left paths, PLUS the two horizontal
+    volumes folded in: out = hf + hb + v + d1 + d2.  Folding the sum here
+    removes a whole read+write pass over the volume that a separate
+    4-operand XLA add would cost."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        for ref in (cv_f, cd1_f, cd2_f, cv_b, cd1_b, cd2_b):
+        for ref in (cv, cd1, cd2):
             ref[:] = jnp.full_like(ref, _BIG)
 
-    sdt = out_f.dtype
-    cdt = cv_f.dtype
+    sdt = out.dtype
+    cdt = cv.dtype
 
     # fori_loop (not a python unroll): k can be large — blocks slice the
     # LEADING (untiled) axis, so dynamic row indexing is cheap, and the
     # kernel body stays O(1) in code size (python-unrolled variants blew
     # up Mosaic compile time)
     def body(kk, _):
-        cf = in_f[kk].astype(cdt)
-        nv = _step(cv_f[:], cf, p1, p2)
-        cv_f[:] = nv
-        tot = nv
+        cf = in_c[kk].astype(cdt)
+        nv = _step(cv[:], cf, p1, p2)
+        cv[:] = nv
+        tot = nv + in_hf[kk].astype(cdt) + in_hb[kk].astype(cdt)
         if diag:
-            nd1 = _step(_shift_cols(cd1_f[:], +1), cf, p1, p2)   # down-right
-            nd2 = _step(_shift_cols(cd2_f[:], -1), cf, p1, p2)   # down-left
-            cd1_f[:] = nd1
-            cd2_f[:] = nd2
+            nd1 = _step(_shift_cols(cd1[:], +1), cf, p1, p2)   # down-right
+            nd2 = _step(_shift_cols(cd2[:], -1), cf, p1, p2)   # down-left
+            cd1[:] = nd1
+            cd2[:] = nd2
             tot = tot + nd1 + nd2
-        out_f[kk] = tot.astype(sdt)
+        out[kk] = tot.astype(sdt)
+        return 0
 
-        cb = in_b[k - 1 - kk].astype(cdt)
-        nv = _step(cv_b[:], cb, p1, p2)
-        cv_b[:] = nv
-        tot = nv
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+def _wta_rows(tot, d_real: int, compute):
+    """Fused winner-takes-all reductions over the lane (disparity) axis of
+    one (W, D) slab: ONE VMEM-resident pass produces everything the
+    per-pixel tail needs (ref winner_takes_all.cu) —
+      c0   : best cost
+      best : argmin disparity
+      c1   : second best with |d - best| > 1 excluded (uniqueness test)
+      cm/cp: costs at clip(best)±1 (parabolic subpixel)
+    Replaces ~6 full XLA reduction passes over the (H, W, D) volume.
+    """
+    D = tot.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, tot.shape, 1)
+    c0 = jnp.min(tot, axis=-1)
+    # argmin via min-of-iota-where-min (Mosaic-safe; ties -> smallest d,
+    # matching jnp.argmin)
+    best = jnp.min(jnp.where(tot == c0[:, None], iota, D), axis=-1)
+    big = jnp.asarray(_BIG * 2, compute)
+    masked = jnp.where(jnp.abs(iota - best[:, None]) <= 1, big, tot)
+    c1 = jnp.min(masked, axis=-1)
+    bm = jnp.clip(best, 1, d_real - 2)
+    sel = iota - bm[:, None]
+    zero = jnp.zeros((), compute)
+    cm = jnp.sum(jnp.where(sel == -1, tot, zero), axis=-1)
+    cc = jnp.sum(jnp.where(sel == 0, tot, zero), axis=-1)
+    cp = jnp.sum(jnp.where(sel == 1, tot, zero), axis=-1)
+    return c0, best, c1, cm, cc, cp
+
+
+_BIG_R = 30000        # out-of-range fill for the right-image skewed volume
+
+
+def _skew_diag(tot, w_real: int, compute):
+    """In-VMEM diagonal skew: out[x, d] = tot[x+d, d], with x+d >= w_real
+    filled by _BIG_R — the right-image cost volume cost_r(x, d) =
+    total(x+d, d) built by a log2(D) barrel shifter (7 sublane shifts with
+    per-lane bit selection) instead of a full XLA pad/reshape pass over
+    HBM."""
+    W, D = tot.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, tot.shape, 1)
+    big = jnp.asarray(_BIG_R, compute)
+    out = tot
+    step = 1
+    while step < D:
+        if step >= W:      # shift farther than the slab: everything spills
+            shifted = jnp.full((W, D), big, compute)
+        else:
+            fill = jnp.full((step, D), big, compute)
+            shifted = jnp.concatenate([out[step:], fill], axis=0)
+        out = jnp.where((lane & step) != 0, shifted, out)
+        step *= 2
+    sub = jax.lax.broadcasted_iota(jnp.int32, tot.shape, 0)
+    return jnp.where(sub + lane >= w_real, big, out)
+
+
+def _vertical_bwd_kernel(in_c, in_p, o_c0, o_best, o_c1, o_cm, o_cc,
+                         o_cp, o_rc0, o_rbest, o_rc1, o_rcm, o_rcc, o_rcp,
+                         cv, cd1, cd2,
+                         *, k: int, p1: int, p2: int, diag: bool,
+                         d_real: int, w_real: int):
+    """Up + up-left + up-right paths added onto the forward partial sum —
+    the running block then holds the COMPLETE 8-path total, so BOTH fused
+    WTA epilogues (left image, and right image via the in-VMEM diagonal
+    skew) run here while the slab is still in VMEM.  The summed volume
+    itself is never written back to HBM."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (cv, cd1, cd2):
+            ref[:] = jnp.full_like(ref, _BIG)
+
+    sdt = o_c0.dtype
+    cdt = cv.dtype
+
+    def body(kk, _):
+        r = k - 1 - kk
+        cb = in_c[r].astype(cdt)
+        nv = _step(cv[:], cb, p1, p2)
+        cv[:] = nv
+        tot = nv + in_p[r].astype(cdt)
         if diag:
-            nd1 = _step(_shift_cols(cd1_b[:], -1), cb, p1, p2)   # up-left
-            nd2 = _step(_shift_cols(cd2_b[:], +1), cb, p1, p2)   # up-right
-            cd1_b[:] = nd1
-            cd2_b[:] = nd2
+            nd1 = _step(_shift_cols(cd1[:], -1), cb, p1, p2)   # up-left
+            nd2 = _step(_shift_cols(cd2[:], +1), cb, p1, p2)   # up-right
+            cd1[:] = nd1
+            cd2[:] = nd2
             tot = tot + nd1 + nd2
-        out_b[k - 1 - kk] = tot.astype(sdt)
+        c0, best, c1, cm, cc, cp = _wta_rows(tot, d_real, cdt)
+        o_c0[r] = c0.astype(sdt)
+        o_best[r] = best.astype(jnp.int32)
+        o_c1[r] = c1.astype(sdt)
+        o_cm[r] = cm.astype(sdt)
+        o_cc[r] = cc.astype(sdt)
+        o_cp[r] = cp.astype(sdt)
+        rtot = _skew_diag(tot, w_real, cdt)
+        c0, best, c1, cm, cc, cp = _wta_rows(rtot, d_real, cdt)
+        o_rc0[r] = c0.astype(sdt)
+        o_rbest[r] = best.astype(jnp.int32)
+        o_rc1[r] = c1.astype(sdt)
+        o_rcm[r] = cm.astype(sdt)
+        o_rcc[r] = cc.astype(sdt)
+        o_rcp[r] = cp.astype(sdt)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+def _wta_kernel(in_t, o_c0, o_best, o_c1, o_cm, o_cc, o_cp,
+                *, k: int, d_real: int, compute):
+    """Standalone fused WTA over an (H, W, D) volume (right-image pass)."""
+    def body(kk, _):
+        tot = in_t[kk].astype(compute)
+        c0, best, c1, cm, cc, cp = _wta_rows(tot, d_real, compute)
+        o_c0[kk] = c0.astype(in_t.dtype)
+        o_best[kk] = best.astype(jnp.int32)
+        o_c1[kk] = c1.astype(in_t.dtype)
+        o_cm[kk] = cm.astype(in_t.dtype)
+        o_cc[kk] = cc.astype(in_t.dtype)
+        o_cp[kk] = cp.astype(in_t.dtype)
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
@@ -153,27 +267,23 @@ def _pad_to(x, mults):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("p1", "p2", "num_paths",
-                                             "interpret", "storage"))
-def aggregate_paths_pallas(cost, p1: int = 10, p2: int = 120,
-                           num_paths: int = 8, interpret: bool = False,
-                           storage=jnp.int16):
-    """Sum of 4/8 directional SGM aggregations over an (H, W, D) cost
-    volume.  Returns (H, W, D) in the storage dtype."""
-    H, W, D = cost.shape
-    compute = jnp.int32 if jnp.issubdtype(storage, jnp.integer) else storage
-    cost = cost.astype(storage)
-
-    vmem = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
-
-    # --- horizontal pair: grid (row-bands, column-blocks) ---
+def _horizontal_pass(ch, p1, p2, storage, compute, vmem, interpret):
+    """Left->right and right->left paths over an already-padded volume;
+    returns the two (Hp, Wp, Dp) volumes."""
+    Hp, Wp, Dp = ch.shape
     KH = 16           # sublane tile; also the unroll factor (compile size)
     bsz = 2 if storage == jnp.int16 else 4
-    HB = min(-(-H // 16) * 16, max(16, (8 << 20) // (KH * max(D, 128) * bsz)))
-    ch = _pad_to(cost, (HB, KH, 128))
-    Hp, Wp, Dp = ch.shape
+    hb_max = max(16, (8 << 20) // (KH * Dp * bsz))
+    HB = Hp
+    nb = 1
+    while HB > hb_max:      # smallest row-band split that divides Hp
+        nb += 1
+        while Hp % nb or (Hp // nb) % 16:
+            nb += 1
+        HB = Hp // nb
     gh, gw = Hp // HB, Wp // KH
-    kern_h = functools.partial(_horizontal_kernel, k=KH, p1=int(p1), p2=int(p2))
+    kern_h = functools.partial(_horizontal_kernel, k=KH, p1=int(p1),
+                               p2=int(p2))
     out_hf, out_hb = pl.pallas_call(
         kern_h,
         grid=(gh, gw),
@@ -194,35 +304,342 @@ def aggregate_paths_pallas(cost, p1: int = 10, p2: int = 120,
         compiler_params=vmem,
         interpret=interpret,
     )(ch, ch)
+    return out_hf, out_hb
 
-    # --- vertical (+ diagonals) over rows: grid (row-blocks,) ---
-    KV = max(1, min(64, (4 << 20) // ((-(-W // 16) * 16) * max(D, 128) * bsz)))
-    cv = _pad_to(cost, (KV, 16, 128))
-    Hp2, Wp2, Dp2 = cv.shape
-    gv = Hp2 // KV
-    kern_v = functools.partial(_vertical_kernel, k=KV, p1=int(p1),
-                               p2=int(p2), diag=num_paths >= 8)
-    out_vf, out_vb = pl.pallas_call(
-        kern_v,
+
+def _row_specs(KV, Wp, Dp, gv, reverse: bool):
+    if reverse:
+        return pl.BlockSpec((KV, Wp, Dp), lambda i, _g=gv: (_g - 1 - i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((KV, Wp, Dp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _px_spec(KV, Wp, gv, reverse: bool):
+    if reverse:
+        return pl.BlockSpec((KV, Wp), lambda i, _g=gv: (_g - 1 - i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((KV, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _kv_for(W: int, D: int, storage) -> int:
+    """Rows per vertical grid step: a power of two in [8, 64] under a ~4MB
+    input block budget (2D pixel-map output blocks need a sublane size
+    divisible by 8)."""
+    bsz = 2 if storage == jnp.int16 else 4
+    kv_budget = max(8, (4 << 20) // ((-(-W // 16) * 16) * max(D, 128) * bsz))
+    KV = 64
+    while KV > kv_budget:
+        KV //= 2
+    return KV
+
+
+def _vertical_setup(cost, storage):
+    """Common padding + KV selection for the vertical kernels.  One padding
+    (multiple of max(16, KV)) serves the horizontal and vertical kernels;
+    a volume already in this layout (census_cost_pallas) pads as a no-op."""
+    H, W, D = cost.shape
+    KV = _kv_for(W, D, storage)
+    cv = _pad_to(cost, (max(16, KV), 16, 128))
+    return cv, KV
+
+
+def _partial_sum(cv, KV, p1, p2, diag, storage, compute, vmem, interpret):
+    """Kernels 1+2: horizontal pair, then vertical fwd folding hf+hb in."""
+    Hp, Wp, Dp = cv.shape
+    gv = Hp // KV
+    out_hf, out_hb = _horizontal_pass(cv, p1, p2, storage, compute, vmem,
+                                      interpret)
+    kern_f = functools.partial(_vertical_fwd_kernel, k=KV, p1=int(p1),
+                               p2=int(p2), diag=diag)
+    return pl.pallas_call(
+        kern_f,
         grid=(gv,),
-        in_specs=[
-            pl.BlockSpec((KV, Wp2, Dp2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KV, Wp2, Dp2), lambda i, _g=gv: (_g - 1 - i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((KV, Wp2, Dp2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KV, Wp2, Dp2), lambda i, _g=gv: (_g - 1 - i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((Hp2, Wp2, Dp2), storage)] * 2,
-        scratch_shapes=[pltpu.VMEM((Wp2, Dp2), compute)] * 6,
+        in_specs=[_row_specs(KV, Wp, Dp, gv, False)] * 3,
+        out_specs=_row_specs(KV, Wp, Dp, gv, False),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), storage),
+        scratch_shapes=[pltpu.VMEM((Wp, Dp), compute)] * 3,
         compiler_params=vmem,
         interpret=interpret,
-    )(cv, cv)
+    )(cv, out_hf, out_hb)
 
-    total = (out_hf[:H, :W, :D] + out_hb[:H, :W, :D]
-             + out_vf[:H, :W, :D] + out_vb[:H, :W, :D])
-    return total
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "num_paths",
+                                             "interpret", "storage",
+                                             "real_shape"))
+def aggregate_wta_pallas(cost, p1: int = 10, p2: int = 120,
+                         num_paths: int = 8, interpret: bool = False,
+                         storage=jnp.float32, real_shape=None):
+    """Fused 4/8-path SGM aggregation + BOTH winner-takes-all passes.
+
+    Three kernels, five HBM passes over the volume total, and the summed
+    volume never goes back to HBM:
+      1. horizontal pair (2 passes: fwd+bwd walks) -> hf, hb
+      2. vertical fwd (+down diagonals), folding hf+hb in -> partial
+      3. vertical bwd (+up diagonals) -> complete total per row slab, with
+         the fused left-image WTA reductions (c0/best/c1/cm/cc/cp) AND the
+         right-image ones (via the in-VMEM diagonal skew cost_r(x, d) =
+         total(x+d, d)) computed while the slab is in VMEM.
+
+    Returns (wta_left, wta_right) dicts of (H, W) maps.  `real_shape`
+    gives the true (H, W, D) when `cost` is already padded
+    (census_cost_pallas output).
+    """
+    H, W, D = real_shape or cost.shape
+    compute = jnp.int32 if jnp.issubdtype(storage, jnp.integer) else storage
+    cost = cost.astype(storage)
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
+    cv, KV = _vertical_setup(cost, storage)
+    Hp, Wp, Dp = cv.shape
+    gv = Hp // KV
+    diag = num_paths >= 8
+    partial = _partial_sum(cv, KV, p1, p2, diag, storage, compute, vmem,
+                           interpret)
+
+    kern_b = functools.partial(_vertical_bwd_kernel, k=KV, p1=int(p1),
+                               p2=int(p2), diag=diag, d_real=D, w_real=W)
+    px = jax.ShapeDtypeStruct((Hp, Wp), storage)
+    pxi = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
+    outs = pl.pallas_call(
+        kern_b,
+        grid=(gv,),
+        in_specs=[_row_specs(KV, Wp, Dp, gv, True)] * 2,
+        out_specs=[_px_spec(KV, Wp, gv, True)] * 12,
+        out_shape=[px, pxi, px, px, px, px] * 2,
+        scratch_shapes=[pltpu.VMEM((Wp, Dp), compute)] * 3,
+        compiler_params=vmem,
+        interpret=interpret,
+    )(cv, partial)
+
+    names = ("c0", "best", "c1", "cm", "cc", "cp")
+    wta_l = {k: v[:H, :W] for k, v in zip(names, outs[:6])}
+    wta_r = {k: v[:H, :W] for k, v in zip(names, outs[6:])}
+    return wta_l, wta_r
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wta_pallas(vol, interpret: bool = False):
+    """Standalone fused WTA over an (H, W, D) volume in ONE HBM read
+    (right-image disparity pass).  Returns dict of (H, W) maps."""
+    H, W, D = vol.shape
+    storage = vol.dtype
+    compute = jnp.int32 if jnp.issubdtype(storage, jnp.integer) else storage
+    bsz = 2 if storage == jnp.int16 else 4
+    kv_budget = max(8, (4 << 20) // ((-(-W // 16) * 16) * max(D, 128) * bsz))
+    KV = 64
+    while KV > kv_budget:
+        KV //= 2
+    vp = _pad_to(vol, (max(16, KV), 16, 128))
+    Hp, Wp, Dp = vp.shape
+    gv = Hp // KV
+    kern = functools.partial(_wta_kernel, k=KV, d_real=D, compute=compute)
+    px = jax.ShapeDtypeStruct((Hp, Wp), storage)
+    c0, best, c1, cm, cc, cp = pl.pallas_call(
+        kern,
+        grid=(gv,),
+        in_specs=[_row_specs(KV, Wp, Dp, gv, False)],
+        out_specs=[_px_spec(KV, Wp, gv, False)] * 6,
+        out_shape=[px, jax.ShapeDtypeStruct((Hp, Wp), jnp.int32), px, px,
+                   px, px],
+        scratch_shapes=[],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(vp)
+    return {"c0": c0[:H, :W], "best": best[:H, :W], "c1": c1[:H, :W],
+            "cm": cm[:H, :W], "cc": cc[:H, :W], "cp": cp[:H, :W]}
+
+
+def _census_cost_kernel(l_a, l_b, r_a, r_b, out, *, k: int, h_real: int,
+                        w_real: int, d_real: int, win_h: int, win_w: int,
+                        r_pad: int):
+    """Fused census transform + Hamming cost volume, one output write.
+
+    Each grid step sees two ADJACENT k-row image blocks (the census window
+    needs win_h//2 rows of context; overlapping BlockSpecs are illegal, so
+    the overlap is stitched from block i and block i+1).  The disparity
+    axis is built in a (D, W) orientation — cl broadcast over sublanes,
+    cr[x-d] per sublane d via a log2(D) lane barrel shifter — then each
+    row slab is transposed to the (W, D) layout the aggregation kernels
+    consume.  Replaces ~2 GB of XLA broadcast/pad/reshape/transpose
+    traffic with tiny image reads + ONE volume write.
+    """
+    rw, rh = win_w // 2, win_h // 2
+    W = w_real
+    r0 = pl.program_id(0) * k
+
+    def census(a, b):
+        """(k, W) uint32 census word pair; bit = center > neighbour."""
+        S = jnp.concatenate([a[:], b[:]], axis=0)   # (2k, W + 2*rw [+pad])
+        ctr = S[rh:rh + k, rw:rw + W]
+        lo = jnp.zeros(ctr.shape, jnp.uint32)
+        hi = jnp.zeros(ctr.shape, jnp.uint32)
+        bit = 0
+        for dy in range(win_h):
+            for dx in range(win_w):
+                if dy == rh and dx == rw:
+                    continue
+                nb = S[dy:dy + k, dx:dx + W]
+                word = (ctr > nb).astype(jnp.uint32) << jnp.uint32(bit % 32)
+                if bit < 32:
+                    lo = lo | word
+                else:
+                    hi = hi | word
+                bit += 1
+        return lo, hi
+
+    cl_lo, cl_hi = census(l_a, l_b)
+    cr_lo, cr_hi = census(r_a, r_b)
+
+    D = out.shape[-1]
+    Wp = out.shape[1]
+    sdt = out.dtype
+    # (D, W) orientation: d on sublanes, x on lanes
+    lane_x = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    sub_d = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
+
+    def shift_r(row):
+        """(D, W) slab with out[d, x] = row[x - d] (lane barrel shifter)."""
+        v = jnp.broadcast_to(row, (D, W))
+        step = 1
+        while step < D:
+            if step >= W:
+                shifted = jnp.zeros((D, W), v.dtype)
+            else:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((D, step), v.dtype), v[:, :-step]], axis=1)
+            v = jnp.where((sub_d & step) != 0, shifted, v)
+            step *= 2
+        return v
+
+    for kk in range(k):       # static: sublane slices of the census slabs
+        a_lo = jnp.broadcast_to(cl_lo[kk:kk + 1, :], (D, W))
+        a_hi = jnp.broadcast_to(cl_hi[kk:kk + 1, :], (D, W))
+        b_lo = shift_r(cr_lo[kk:kk + 1, :])
+        b_hi = shift_r(cr_hi[kk:kk + 1, :])
+        ham = (jax.lax.population_count((a_lo ^ b_lo).astype(jnp.int32))
+               + jax.lax.population_count((a_hi ^ b_hi).astype(jnp.int32))
+               ).astype(sdt)
+        # out-of-range disparities (x < d) -> 64; real-D overflow -> _BIG
+        ham = jnp.where(lane_x < sub_d, jnp.asarray(64, sdt), ham)
+        ham = jnp.where(sub_d >= d_real, jnp.asarray(_BIG, sdt), ham)
+        # pad rows -> UNIFORM 64 across all lanes (path-restart semantics
+        # at the boundary; matches _pad_to's pad order)
+        ham = jnp.where(r0 + kk >= h_real, jnp.asarray(64, sdt), ham)
+        hamT = jnp.swapaxes(ham, 0, 1)              # (W, D)
+        if Wp > W:
+            hamT = jnp.concatenate(
+                [hamT, jnp.full((Wp - W, D), 64, sdt)], axis=0)
+        out[kk] = hamT
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "interpret",
+                                             "storage", "win_h", "win_w"))
+def census_cost_pallas(left, right, max_disp: int, interpret: bool = False,
+                       storage=jnp.float32, win_h: int = 9, win_w: int = 7):
+    """Census + Hamming cost volume (ref census_transform.cu semantics),
+    emitted directly in the padded layout the aggregation kernels consume
+    (D pads = _BIG, H/W pads = 64).  Returns the (Hp, Wp, Dp) volume; pass
+    real_shape=(H, W, max_disp) to aggregate_wta_pallas."""
+    H, W = left.shape
+    D = max_disp
+    KV = _kv_for(W, D, storage)
+    mh = max(16, KV)
+    Hp = -(-H // mh) * mh
+    Wp = -(-W // 16) * 16
+    Dp = -(-D // 128) * 128
+    rh, rw = win_h // 2, win_w // 2
+    k = 16                    # census block rows (static unroll)
+    # zero-pad host-side (tiny vs the volume): rh rows of context on top,
+    # enough below that block i+1 always exists; rw cols each side, lanes
+    # padded to a 128 multiple
+    gv = Hp // k
+    HpR = (gv + 1) * k
+    w6p = (-(W + 2 * rw)) % 128
+    lp = jnp.pad(left, ((rh, HpR - H - rh), (rw, rw + w6p)))
+    rp = jnp.pad(right, ((rh, HpR - H - rh), (rw, rw + w6p)))
+    kern = functools.partial(_census_cost_kernel, k=k, h_real=H, w_real=W,
+                             d_real=D, win_h=win_h, win_w=win_w,
+                             r_pad=rw + w6p)
+    WI = lp.shape[1]
+    blk_a = pl.BlockSpec((k, WI), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk_b = pl.BlockSpec((k, WI), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(gv,),
+        in_specs=[blk_a, blk_b, blk_a, blk_b],
+        out_specs=_row_specs(k, Wp, Dp, gv, False),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), storage),
+        scratch_shapes=[],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(lp, lp, rp, rp)
+
+
+def _vertical_bwd_total_kernel(in_c, in_p, out_t, cv, cd1, cd2,
+                               *, k: int, p1: int, p2: int, diag: bool):
+    """Up (+up diagonals) added onto the forward partial sum, emitting the
+    full aggregated volume (parity-test / volume-consumer API)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (cv, cd1, cd2):
+            ref[:] = jnp.full_like(ref, _BIG)
+
+    sdt = out_t.dtype
+    cdt = cv.dtype
+
+    def body(kk, _):
+        r = k - 1 - kk
+        cb = in_c[r].astype(cdt)
+        nv = _step(cv[:], cb, p1, p2)
+        cv[:] = nv
+        tot = nv + in_p[r].astype(cdt)
+        if diag:
+            nd1 = _step(_shift_cols(cd1[:], -1), cb, p1, p2)   # up-left
+            nd2 = _step(_shift_cols(cd2[:], +1), cb, p1, p2)   # up-right
+            cd1[:] = nd1
+            cd2[:] = nd2
+            tot = tot + nd1 + nd2
+        out_t[r] = tot.astype(sdt)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "num_paths",
+                                             "interpret", "storage"))
+def aggregate_paths_pallas(cost, p1: int = 10, p2: int = 120,
+                           num_paths: int = 8, interpret: bool = False,
+                           storage=jnp.int16):
+    """Sum of 4/8 directional SGM aggregations over an (H, W, D) cost
+    volume.  Returns (H, W, D) in the storage dtype.  (Volume-only API,
+    kept for parity tests; the full pipeline uses aggregate_wta_pallas,
+    which never writes the summed volume to HBM.)"""
+    H, W, D = cost.shape
+    compute = jnp.int32 if jnp.issubdtype(storage, jnp.integer) else storage
+    cost = cost.astype(storage)
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
+    cv, KV = _vertical_setup(cost, storage)
+    Hp, Wp, Dp = cv.shape
+    gv = Hp // KV
+    diag = num_paths >= 8
+    partial = _partial_sum(cv, KV, p1, p2, diag, storage, compute, vmem,
+                           interpret)
+    kern_b = functools.partial(_vertical_bwd_total_kernel, k=KV, p1=int(p1),
+                               p2=int(p2), diag=diag)
+    total = pl.pallas_call(
+        kern_b,
+        grid=(gv,),
+        in_specs=[_row_specs(KV, Wp, Dp, gv, True)] * 2,
+        out_specs=_row_specs(KV, Wp, Dp, gv, True),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), storage),
+        scratch_shapes=[pltpu.VMEM((Wp, Dp), compute)] * 3,
+        compiler_params=vmem,
+        interpret=interpret,
+    )(cv, partial)
+    return total[:H, :W, :D]

@@ -197,6 +197,29 @@ def aggregate_paths(cost, p1: int = 10, p2: int = 120,
     return total + vf + vb[::-1]
 
 
+def _disp_from_wta(w, max_disp: int, uniqueness: float, subpixel: bool):
+    """Per-pixel tail of WTA from the fused kernel's reduction outputs
+    (c0/best/c1/cm/cc/cp) — identical math to winner_takes_all below, but
+    operating on (H, W) maps instead of the (H, W, D) volume."""
+    c0 = w["c0"].astype(jnp.float32)
+    c1 = w["c1"].astype(jnp.float32)
+    best = w["best"]
+    valid = c0 <= uniqueness * c1
+    if subpixel:
+        bm = jnp.clip(best, 1, max_disp - 2)
+        cm = w["cm"].astype(jnp.float32)
+        cc = w["cc"].astype(jnp.float32)
+        cp = w["cp"].astype(jnp.float32)
+        denom = cm - 2 * cc + cp
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
+        disp = bm.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0)
+        disp = jnp.where(best == 0, 0.0, disp)
+    else:
+        disp = best.astype(jnp.float32)
+    return disp, valid
+
+
 def winner_takes_all(agg, uniqueness: float = 0.96, subpixel: bool = True):
     """argmin + uniqueness test + parabolic subpixel (ref winner_takes_all.cu).
 
@@ -266,31 +289,42 @@ def stereo_sgm(left, right, max_disp: int = 128, p1: int = 10,
       (disp (H, W) float32 with invalid = -1, valid (H, W) bool).
     """
     p1, p2 = int(p1), int(p2)
-    cl = census_transform(left)
-    cr = census_transform(right)
-    cost_l = matching_cost_volume(cl, cr, max_disp)
-    agg_l = aggregate_paths(cost_l, p1, p2, num_paths)
-    disp_l, uniq_l = winner_takes_all(agg_l, uniqueness, subpixel)
-
-    # right disparity from the same cost volume: cost_r(x, d) = cost_l(x+d, d)
-    # — built with one roll per disparity plane; a take_along_axis gather
-    # over the whole (H, W, D) volume measured ~0.7 s on its own
     D = max_disp
     H, W = left.shape
-    big_r = jnp.asarray(30000, agg_l.dtype)
-    # skew-by-reshape: cost_r[y, x, d] = agg_l[y, x+d, d].  Padding the W
-    # axis by D then the flat (D*(W+D)) axis by D and re-splitting at width
-    # W+D+1 shifts row d by exactly d columns (diagonal-extraction trick) —
-    # one bulk pad/reshape instead of D per-plane rolls, which XLA
-    # materialized as (H, W, 1) tiles padded 128x on the lane axis (OOM)
-    aggT = jnp.transpose(agg_l, (0, 2, 1))                    # (H, D, W)
-    WD = W + D
-    P = jnp.pad(aggT, ((0, 0), (0, 0), (0, D)), constant_values=big_r)
-    flat = jnp.pad(P.reshape(H, D * WD), ((0, 0), (0, D)),
-                   constant_values=big_r)
-    cost_r = jnp.transpose(flat.reshape(H, D, WD + 1)[:, :, :W],
-                           (0, 2, 1))                         # (H, W, D)
-    disp_r, _ = winner_takes_all(cost_r, uniqueness, subpixel)
+
+    if jax.default_backend() == "tpu":
+        from .pallas.sgm_kernel import (aggregate_wta_pallas,
+                                        census_cost_pallas)
+        # fully fused TPU path: census+cost volume in one kernel (single
+        # volume write), then 3 kernels do aggregation + BOTH WTA passes
+        # (left directly, right via an in-VMEM diagonal skew); the summed
+        # volume is never written back to HBM (pallas/sgm_kernel.py)
+        cost_p = census_cost_pallas(left, right, max_disp)
+        wta_l, wta_r = aggregate_wta_pallas(cost_p, p1, p2, num_paths,
+                                            storage=jnp.float32,
+                                            real_shape=(H, W, D))
+        disp_l, uniq_l = _disp_from_wta(wta_l, D, uniqueness, subpixel)
+        disp_r, _ = _disp_from_wta(wta_r, D, uniqueness, subpixel)
+    else:
+        cl = census_transform(left)
+        cr = census_transform(right)
+        cost_l = matching_cost_volume(cl, cr, max_disp)
+        agg_l = aggregate_paths(cost_l, p1, p2, num_paths)
+        disp_l, uniq_l = winner_takes_all(agg_l, uniqueness, subpixel)
+
+        # right disparity from the same volume: cost_r(x, d) = agg_l(x+d, d)
+        big_r = jnp.asarray(30000, agg_l.dtype)
+        # skew-by-reshape: pad the W axis by D then the flat (D*(W+D)) axis
+        # by D and re-split at width W+D+1 — shifts row d by exactly d
+        # columns (diagonal-extraction trick) in one bulk pad/reshape
+        aggT = jnp.transpose(agg_l, (0, 2, 1))                # (H, D, W)
+        WD = W + D
+        P = jnp.pad(aggT, ((0, 0), (0, 0), (0, D)), constant_values=big_r)
+        flat = jnp.pad(P.reshape(H, D * WD), ((0, 0), (0, D)),
+                       constant_values=big_r)
+        cost_r = jnp.transpose(flat.reshape(H, D, WD + 1)[:, :, :W],
+                               (0, 2, 1))                     # (H, W, D)
+        disp_r, _ = winner_takes_all(cost_r, uniqueness, subpixel)
 
     disp_l = median3(disp_l)
     disp_r = median3(disp_r)

@@ -94,6 +94,49 @@ def test_aggregate_paths_pallas_interpret_matches_bruteforce(rng, num_paths):
     np.testing.assert_array_equal(got.astype(np.int64), want)
 
 
+def test_census_cost_kernel_matches_xla(rng):
+    """The fused census+cost Pallas kernel (interpret mode) must emit
+    exactly the XLA path's volume, including the padded layout the
+    aggregation kernels consume (D pads _BIG, H/W pads 64)."""
+    from metricsfm_tpu.ops.pallas.sgm_kernel import (_kv_for, _pad_to,
+                                                     census_cost_pallas)
+    for (H, W, D) in [(40, 52, 24), (37, 61, 48)]:
+        L = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+        R = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+        ref = sgm.matching_cost_volume(sgm.census_transform(L),
+                                       sgm.census_transform(R), D)
+        refp = np.asarray(_pad_to(
+            jnp.asarray(np.asarray(ref), jnp.float32),
+            (max(16, _kv_for(W, D, jnp.float32)), 16, 128)))
+        got = np.asarray(census_cost_pallas(L, R, D, interpret=True))
+        np.testing.assert_array_equal(got, refp)
+
+
+def test_fused_wta_matches_xla(rng):
+    """aggregate_wta_pallas's left AND right fused WTA reductions
+    (interpret) must reproduce the XLA winner_takes_all on the aggregated
+    volume / the skewed right volume."""
+    from metricsfm_tpu.ops.pallas.sgm_kernel import aggregate_wta_pallas
+    H, W, D = 24, 40, 16
+    cost = rng.integers(0, 64, size=(H, W, D)).astype(np.float32)
+    agg = np.asarray(sgm.aggregate_paths(jnp.asarray(cost), 10, 120, 8)
+                     ).astype(np.float32)
+    wl, wr = aggregate_wta_pallas(jnp.asarray(cost), 10, 120, 8,
+                                  interpret=True, storage=jnp.float32)
+    dl_ref, vl_ref = sgm.winner_takes_all(jnp.asarray(agg), 0.96, True)
+    dl, vl = sgm._disp_from_wta(wl, D, 0.96, True)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(vl), np.asarray(vl_ref))
+    # right volume: literal skew cost_r(x, d) = agg(x+d, d)
+    cost_r = np.full((H, W, D), 30000, np.float32)
+    for d in range(D):
+        for x in range(W - d):
+            cost_r[:, x, d] = agg[:, x + d, d]
+    dr_ref, _ = sgm.winner_takes_all(jnp.asarray(cost_r), 0.96, True)
+    dr, _ = sgm._disp_from_wta(wr, D, 0.96, True)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(dr_ref), atol=1e-5)
+
+
 def test_census_hamming(rng):
     img = jnp.asarray(rng.uniform(0, 1, size=(32, 40)).astype(np.float32))
     c = sgm.census_transform(img)
