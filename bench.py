@@ -54,6 +54,79 @@ def bench_ba(n_cams=64, n_pts=16384, max_views=6, iters=30, warmup=True):
     return iters / dt
 
 
+def bench_ba_1k(n_cams=1024, n_pts=131072, max_views=6, iters=4):
+    """LM iterations/s at 1,024 cameras / 262k points (the BASELINE.md
+    north-star scale).  The dense-Schur path OOMs here (its one-hot factor
+    is O(P*C) = 19 GB); this exercises the matrix-free block-Jacobi PCG
+    camera solve (ba/lm.py, cfg.cg_iterations > 0)."""
+    import jax
+    import jax.numpy as jnp
+    from metricsfm_tpu.ba import problem as ba_problem
+    from metricsfm_tpu.ba.lm import LMConfig, _assemble_and_solve
+    from metricsfm_tpu.ops import lie, projection
+
+    # build observations only for the (P, V) tracked slots — projecting the
+    # full C x P grid (as the small generator does) is O(C*P) memory
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-40, 40, size=(n_pts, 3))
+    pts[:, 2] += 80.0
+    poses = []
+    for i in range(n_cams):
+        ang = (i - n_cams / 2) * (2.0 / n_cams)
+        c = np.array([np.sin(ang) * 80.0, 2.0 * np.sin(2 * ang),
+                      80.0 - np.cos(ang) * 80.0])
+        z = np.array([0.0, 0.0, 80.0]) + rng.normal(0, 3.0, 3) - c
+        z /= np.linalg.norm(z)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x /= np.linalg.norm(x)
+        R = np.stack([x, np.cross(z, x), z])
+        aa = np.asarray(lie.matrix_to_angle_axis(jnp.asarray(R)))
+        poses.append(np.concatenate([aa, -R @ c]))
+    poses = np.stack(poses)
+    intrs = np.tile(np.array([[1000.0, 0.0, 0.0]]), (n_cams, 1))
+    # each point seen by a window of nearby cameras
+    base = (rng.integers(0, n_cams, size=n_pts)[:, None]
+            + np.arange(max_views)[None, :]) % n_cams
+    track_cam = base.astype(np.int32)
+    camf = track_cam.reshape(-1)
+
+    def proj_one(pose, intr, pt):
+        uv, _ = projection.project(pose, intr, pt[None])
+        return uv[0]
+
+    uv = jax.vmap(proj_one)(jnp.asarray(poses)[camf], jnp.asarray(intrs)[camf],
+                            jnp.asarray(np.repeat(pts, max_views, axis=0)))
+    track_uv = np.asarray(uv).reshape(n_pts, max_views, 2)
+    track_mask = np.ones((n_pts, max_views), bool)
+    prob = ba_problem.build_problem(
+        poses + rng.normal(0, 0.01, poses.shape), intrs,
+        np.arange(n_cams), pts + rng.normal(0, 0.05, pts.shape),
+        track_cam, track_uv, track_mask)
+    prob = prob._replace(
+        pose_mut=jnp.ones((n_cams,)).at[0].set(0.0),
+        intr_mut=jnp.zeros((n_cams,)))
+    gather_k = int(np.bincount(camf, minlength=n_cams).max())
+    cfg = LMConfig(cg_iterations=50, cg_tol=1e-4, cg_gather_k=gather_k)
+
+    @jax.jit
+    def lm_step(problem, lam):
+        C, M = problem.n_cameras, problem.n_models
+        d_pose, d_intr, d_pt = _assemble_and_solve(problem, lam, cfg)
+        return problem._replace(poses=problem.poses + d_pose,
+                                intrs=problem.intrs + d_intr,
+                                points=problem.points + d_pt)
+
+    lam = jnp.float32(1e-3)
+    out = lm_step(prob, lam)
+    _ = np.asarray(out.poses[0, 0])
+    t0 = time.perf_counter()
+    cur = prob
+    for _ in range(iters):
+        cur = lm_step(cur, lam)
+    _ = np.asarray(cur.poses[0, 0])
+    return iters / (time.perf_counter() - t0)
+
+
 def bench_matching(n_kp=4096, n_pairs=96, iters=6, use_pallas=True):
     """Pairs/s of full ratio-test matching, measured as a scan-chained jit
     (data dependency between iterations + host fetch => honest timing).
@@ -218,6 +291,10 @@ def main():
         e2e_ips = bench_e2e()
     except Exception:
         e2e_ips = -1.0
+    try:
+        ba_1k = bench_ba_1k()
+    except Exception:
+        ba_1k = -1.0
     platform = jax.devices()[0].platform
     baseline_ba_its = 10.0   # Ceres DENSE_SCHUR 1-thread CPU proxy (see docstring)
     print(json.dumps({
@@ -230,6 +307,7 @@ def main():
         "sift_images_per_s": round(sift_s, 3),
         "sgm_megapixels_per_s": round(sgm_mps, 3),
         "e2e_images_per_s": round(e2e_ips, 3),
+        "ba_iterations_per_s_1k": round(ba_1k, 3),
         "platform": platform,
     }))
 

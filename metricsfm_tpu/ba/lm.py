@@ -46,6 +46,22 @@ class LMConfig(NamedTuple):
     max_lambda: float = 1e10
     rtol: float = 1e-8
     jacobi_scale: bool = True
+    # > 0: solve the reduced camera system with matrix-free block-Jacobi
+    # PCG instead of dense Cholesky.  The dense path assembles S via an
+    # O(P*C) one-hot factor — fine to a few hundred cameras, OOM at 1k+
+    # (measured: 19 GB at 1024 cams / 262k pts); the CG path touches only
+    # O(P*V) per-track tensors per matvec and scales to thousands of
+    # cameras (Agarwal et al., "Bundle Adjustment in the Large": inexact
+    # Newton steps keep LM convergence).
+    cg_iterations: int = 0
+    cg_tol: float = 1e-5
+    cg_chunk: int = 4096
+    # per-camera gather width for the CG matvec reduction: when > 0, the
+    # per-view contributions are summed by a (C, K) gather table (one
+    # argsort per solve, ~20x less HBM than one-hot matmuls / scatter) —
+    # MUST be >= the max observations of any single camera or the matvec
+    # silently drops terms; 0 falls back to segment_sum
+    cg_gather_k: int = 0
 
 
 def _residual_one(pose, intr, point, uv):
@@ -397,8 +413,296 @@ def backsub_points(aux, d_cam, problem: BAProblem):
     return d_pt * problem.point_mut[:, None]
 
 
+# ---------------------------------------------------------------------------
+# Matrix-free PCG path for the reduced camera system (cfg.cg_iterations > 0)
+# ---------------------------------------------------------------------------
+
+def _chunked_reduce(vals, ids, n: int, chunk: int):
+    """sum_{p,v} vals[p,v] into bins ids[p,v] -> (n, k).
+
+    TPU-idiomatic scatter-free reduction: a lax.scan over point chunks,
+    each chunk reduced with ONE one-hot matmul — O(chunk*V*n) transient
+    memory instead of the O(P*n) a materialized one-hot would need, and no
+    XLA scatter (measured >100x slower than the matmul form).
+    """
+    P, V = ids.shape
+    k = vals.shape[-1]
+    pad = (-P) % chunk
+    if pad:
+        vals = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))
+        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=n)  # -> zero row
+    nc = (P + pad) // chunk
+    vals = vals.reshape(nc, chunk, V, k)
+    ids = ids.reshape(nc, chunk, V)
+
+    def body(acc, sl):
+        v, i = sl
+        oh = jax.nn.one_hot(i, n, dtype=v.dtype)       # (chunk, V, n)
+        return acc + jnp.einsum("pvn,pvk->nk", oh, v), None
+
+    acc0 = jnp.zeros((n, k), vals.dtype)
+    out, _ = jax.lax.scan(body, acc0, (vals, ids))
+    return out
+
+
+def _track_terms(problem: BAProblem, lam, cfg: LMConfig):
+    """Per-track tensors + rhs for the CG path — everything O(P*V), no
+    (D, D) matrix and no O(P*C) factor."""
+    C, M = problem.n_cameras, problem.n_models
+    dtype = problem.points.dtype
+
+    r, Jpo, Jin, Jpt = _obs_jacobians(problem)
+    rw = robust_weights(r, cfg.huber_delta)[..., None]
+    r = r * rw
+    Jpo = Jpo * rw[..., None]
+    Jin = Jin * rw[..., None]
+    Jpt = Jpt * rw[..., None]
+
+    cam = problem.track_cam
+    model = problem.cam_model[cam]
+
+    # point blocks
+    Hpp = jnp.einsum("pvri,pvrj->pij", Jpt, Jpt)
+    diag_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    damp = lam * jnp.maximum(diag_pp, 1e-12) + 1e-12
+    Hpp_d = Hpp + damp[..., None] * jnp.eye(3, dtype=dtype)
+    pm = problem.point_mut[:, None, None]
+    Hpp_d = Hpp_d * pm + jnp.eye(3, dtype=dtype)[None] * (1.0 - pm)
+    Hpp_inv = _inv3x3(Hpp_d)
+
+    Jc = jnp.concatenate([Jpo, Jin], axis=-1)            # (P,V,2,9)
+    W = jnp.einsum("pvri,pvrj->pvij", Jc, Jpt)           # (P,V,9,3)
+    W = W * problem.point_mut[:, None, None, None]
+
+    # gradient + Schur rhs correction (chunked one-hot reductions)
+    g_view = jnp.einsum("pvri,pvr->pvi", Jc, r)          # (P,V,9)
+    g_pt = jnp.einsum("pvri,pvr->pi", Jpt, r)            # (P,3)
+    y = jnp.einsum("pij,pj->pi", Hpp_inv, g_pt)
+    corr = jnp.einsum("pvij,pj->pvi", W, y)              # (P,V,9)
+    rv = corr - g_view
+    rhs_pose = _chunked_reduce(rv[..., :6], cam, C, cfg.cg_chunk)
+    rhs_intr = _chunked_reduce(rv[..., 6:], model, M, cfg.cg_chunk)
+    rhs = jnp.concatenate([rhs_pose.reshape(-1), rhs_intr.reshape(-1)])
+
+    dof_pose = 6 * cam[..., None] + jnp.arange(6)[None, None, :]
+    dof_intr = 6 * C + 3 * model[..., None] + jnp.arange(3)[None, None, :]
+    dofs = jnp.concatenate([dof_pose, dof_intr], axis=-1)
+
+    # diagonal + block-Jacobi pieces of S (Hcc minus Schur part, per view)
+    Lp = _chol3x3(Hpp_inv)
+    U = jnp.einsum("pvij,pjk->pvik", W, Lp)              # (P,V,9,3)
+    blk_view = (jnp.einsum("pvri,pvrj->pvij", Jc, Jc)
+                - jnp.einsum("pvik,pvjk->pvij", U, U))   # (P,V,9,9)
+    blk_pose = _chunked_reduce(
+        blk_view[:, :, :6, :6].reshape(*cam.shape, 36), cam, C,
+        cfg.cg_chunk).reshape(C, 6, 6)
+    blk_intr = _chunked_reduce(
+        blk_view[:, :, 6:, 6:].reshape(*cam.shape, 9), model, M,
+        cfg.cg_chunk).reshape(M, 3, 3)
+
+    aux = {"Hpp_inv": Hpp_inv, "W": W, "dofs": dofs, "g_pt": g_pt}
+    terms = {"Jc": Jc, "W": W, "Hpp_inv": Hpp_inv, "dofs": dofs,
+             "cam": cam, "model": model, "blk_pose": blk_pose,
+             "blk_intr": blk_intr}
+    return terms, rhs, aux
+
+
+def _gps_prior_blocks(problem: BAProblem):
+    """Camera-indexed Hessian blocks of the GPS/prior/triple terms (cheap,
+    O(C)); returned as dense per-camera pieces for the CG matvec and the
+    preconditioner, plus their rhs contribution."""
+    C, M = problem.n_cameras, problem.n_models
+
+    def gps_rj(pose, gpos, gw):
+        def r(p):
+            return gw * (projection.camera_center(p) - gpos)
+        return r(pose), jax.jacfwd(r)(pose)
+
+    rg, Jg = jax.vmap(gps_rj)(problem.poses, problem.gps_pos,
+                              problem.gps_weight)
+    Hg = jnp.einsum("cri,crj->cij", Jg, Jg)              # (C,6,6)
+    gg = jnp.einsum("cri,cr->ci", Jg, rg)
+
+    rp = pose_prior_residuals(problem)
+    wp = problem.pose_prior_weight
+    Hg = Hg + jax.vmap(jnp.diag)(wp * wp)
+    gg = gg + wp * rp
+
+    def triple_rj(poses3, gps3, w2):
+        rt = _triple_residual(poses3, gps3, w2)
+        Jt = jax.jacfwd(_triple_residual)(poses3, gps3, w2)
+        return rt, Jt
+
+    rt, Jt = jax.vmap(triple_rj)(problem.poses[problem.gps_triple],
+                                 problem.gps_pos[problem.gps_triple],
+                                 problem.gps_triple_weight)
+    Ht = jnp.einsum("trai,trbj->taibj", Jt, Jt)          # (T,3,6,3,6)
+    gt = jnp.einsum("trai,tr->tai", Jt, rt)              # (T,3,6)
+
+    rhs_extra = jnp.zeros((6 * C + 3 * M,), problem.points.dtype)
+    pose_rows = 6 * jnp.arange(C)[:, None] + jnp.arange(6)[None, :]
+    rhs_extra = rhs_extra.at[pose_rows].add(-gg)
+    trip_rows = (6 * problem.gps_triple[:, :, None]
+                 + jnp.arange(6)[None, None, :])
+    for a in range(3):
+        rhs_extra = rhs_extra.at[trip_rows[:, a, :]].add(-gt[:, a, :])
+    return Hg, Ht, rhs_extra
+
+
+def _gather_table(ids, n: int, K: int):
+    """(n, K) gather table: table[c, :count(c)] = flat indices with
+    ids == c; remaining entries point at a sentinel (zero) row len(ids)."""
+    PV = ids.shape[0]
+    order = jnp.argsort(ids)
+    s = ids[order]
+    starts = jnp.searchsorted(s, jnp.arange(n))
+    ends = jnp.searchsorted(s, jnp.arange(n) + 1)
+    pos = starts[:, None] + jnp.arange(K)[None, :]
+    valid = pos < ends[:, None]
+    return jnp.where(valid, order[jnp.clip(pos, 0, PV - 1)], PV)
+
+
+def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig):
+    """Block-Jacobi PCG on the damped, freeze-masked reduced system."""
+    C, M = problem.n_cameras, problem.n_models
+    D = 6 * C + 3 * M
+    dtype = rhs.dtype
+    free = jnp.concatenate([
+        jnp.repeat(problem.pose_mut, 6), jnp.repeat(problem.intr_mut, 3)])
+
+    blk_pose = terms["blk_pose"] + Hg                    # (C,6,6)
+    blk_intr = terms["blk_intr"]                         # (M,3,3)
+    # damping on diag(S) (incl. triples' diagonal)
+    tdiag = jnp.zeros((D,), dtype)
+    trip_rows = (6 * problem.gps_triple[:, :, None]
+                 + jnp.arange(6)[None, None, :])
+    for a in range(3):
+        tdiag = tdiag.at[trip_rows[:, a, :]].add(
+            jnp.diagonal(Ht[:, a, :, a, :], axis1=-2, axis2=-1))
+    diag_s = jnp.concatenate([
+        jax.vmap(jnp.diag)(blk_pose).reshape(-1),
+        jax.vmap(jnp.diag)(blk_intr).reshape(-1)]) + tdiag
+    dampv = lam * jnp.maximum(diag_s, 1e-12) + 1e-10
+
+    Jc, W, Hpp_inv, dofs = (terms["Jc"], terms["W"], terms["Hpp_inv"],
+                            terms["dofs"])
+    cam, model = terms["cam"], terms["model"]
+    gps_triple = problem.gps_triple
+
+    camf = cam.reshape(-1)
+    modf = model.reshape(-1)
+    if cfg.cg_gather_k > 0:
+        idx_c = _gather_table(camf, C, cfg.cg_gather_k)
+        idx_m = _gather_table(modf, M, cfg.cg_gather_k)
+
+        def reduce_cam(zf):
+            zpad = jnp.concatenate(
+                [zf, jnp.zeros((1, zf.shape[1]), zf.dtype)])
+            return jnp.sum(zpad[idx_c], axis=1)
+
+        def reduce_mod(zf):
+            zpad = jnp.concatenate(
+                [zf, jnp.zeros((1, zf.shape[1]), zf.dtype)])
+            return jnp.sum(zpad[idx_m], axis=1)
+    else:
+        def reduce_cam(zf):
+            return jax.ops.segment_sum(zf, camf, C)
+
+        def reduce_mod(zf):
+            return jax.ops.segment_sum(zf, modf, M)
+
+    def matvec(x):
+        xm = x * free
+        # row gathers (poses[cam]-style), NOT xm[dofs]: a (P,V,9) scalar-
+        # index gather measured ~70 ms/matvec at 131k pts — the dof layout
+        # is contiguous 6-blocks per camera / 3-blocks per model
+        xp = xm[:6 * C].reshape(C, 6)
+        xi = xm[6 * C:].reshape(M, 3)
+        xv = jnp.concatenate([xp[cam], xi[model]], axis=-1)   # (P,V,9)
+        t = jnp.einsum("pvrj,pvj->pvr", Jc, xv)
+        u = jnp.einsum("pvri,pvr->pvi", Jc, t)           # Hcc x per view
+        a = jnp.einsum("pvij,pvi->pj", W, xv)
+        b = jnp.einsum("pij,pj->pi", Hpp_inv, a)
+        c = jnp.einsum("pvij,pj->pvi", W, b)
+        z = (u - c).reshape(-1, 9)
+        zp = reduce_cam(z[:, :6])
+        zi = reduce_mod(z[:, 6:])
+        Sx = jnp.concatenate([zp.reshape(-1), zi.reshape(-1)])
+        # GPS/prior blocks
+        xp = xm[:6 * C].reshape(C, 6)
+        Sx = Sx.at[:6 * C].add(jnp.einsum("cij,cj->ci", Hg, xp).reshape(-1))
+        # triples
+        xt = xp[gps_triple]                              # (T,3,6)
+        tx = jnp.einsum("taibj,tbj->tai", Ht, xt)        # (T,3,6)
+        Sxp = jnp.zeros((C, 6), dtype).at[gps_triple].add(tx)
+        Sx = Sx.at[:6 * C].add(Sxp.reshape(-1))
+        Sx = Sx + dampv * xm
+        return Sx * free + (1.0 - free) * x
+
+    # block-Jacobi preconditioner (damped, freeze-safe)
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    dp = (lam * jnp.maximum(jax.vmap(jnp.diag)(blk_pose), 1e-12) + 1e-10)
+    di = (lam * jnp.maximum(jax.vmap(jnp.diag)(blk_intr), 1e-12) + 1e-10)
+    Bp = blk_pose + dp[..., None] * eye6[None]
+    Bi = blk_intr + di[..., None] * eye3[None]
+    fp = problem.pose_mut[:, None, None]
+    fi = problem.intr_mut[:, None, None]
+    Bp = Bp * fp + eye6[None] * (1.0 - fp)
+    Bi = Bi * fi + eye3[None] * (1.0 - fi)
+    Bp_cho = jax.vmap(lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0])(Bp)
+    Bi_inv = _inv3x3(Bi)
+
+    def prec(r):
+        rp = r[:6 * C].reshape(C, 6)
+        ri = r[6 * C:].reshape(M, 3)
+        zp = jax.vmap(lambda l, b: jax.scipy.linalg.cho_solve((l, True), b))(
+            Bp_cho, rp)
+        zi = jnp.einsum("mij,mj->mi", Bi_inv, ri)
+        return jnp.concatenate([zp.reshape(-1), zi.reshape(-1)])
+
+    rhs = rhs * free
+    b_norm = jnp.linalg.norm(rhs)
+    tol2 = (cfg.cg_tol * b_norm) ** 2
+
+    def cond(state):
+        i, x, r, z, p, rz = state
+        return (i < cfg.cg_iterations) & (jnp.sum(r * r) > tol2)
+
+    def body(state):
+        i, x, r, z, p, rz = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return i + 1, x, r, z, p, rz_new
+
+    x0 = jnp.zeros((D,), dtype)
+    z0 = prec(rhs)
+    state = (jnp.int32(0), x0, rhs, z0, z0, jnp.sum(rhs * z0))
+    _, x, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return x * free
+
+
+def _assemble_and_solve_cg(problem: BAProblem, lam, cfg: LMConfig):
+    C, M = problem.n_cameras, problem.n_models
+    terms, rhs, aux = _track_terms(problem, lam, cfg)
+    Hg, Ht, rhs_extra = _gps_prior_blocks(problem)
+    d_cam = _cg_solve(problem, terms, Hg, Ht, rhs + rhs_extra, lam, cfg)
+    d_pt = backsub_points(aux, d_cam, problem)
+    d_pose = d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None]
+    d_intr = d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None]
+    return d_pose, d_intr, d_pt
+
+
 def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig):
     """Single-device path: partial system == full system."""
+    if cfg.cg_iterations > 0:
+        return _assemble_and_solve_cg(problem, lam, cfg)
     C, M = problem.n_cameras, problem.n_models
     S, rhs, aux = partial_camera_system(problem, lam, cfg)
     d_cam = solve_reduced(S, rhs, problem, lam, cfg)
