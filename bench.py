@@ -237,32 +237,42 @@ def bench_e2e(n_cams=8, width=1024, height=768, max_kp=4096):
 
     scene = synth.render_scene(seed=0, n_cams=n_cams, width=width,
                                height=height, focal=1.1 * width)
-    fold = tempfile.mkdtemp(prefix="mtpu_bench_e2e_")
-    try:
-        synth.write_scene_images(fold, scene)
-        cfg = PRESETS["web"]()
-        cfg = dataclasses.replace(
-            cfg,
-            database=dataclasses.replace(cfg.database, resize=False,
-                                         max_keypoints=max_kp),
-            graph=dataclasses.replace(cfg.graph, matching_type="all"))
-        t0 = time.perf_counter()
-        db = Database(fold, cfg.database)
-        db.feature_extraction()
-        matches = build_match_graph(db, cfg)
-        feats = {i: db.features(i) for i in range(db.n_images)}
-        scenes = IncrementalSfM(feats, matches, cfg).run()
-        dt = time.perf_counter() - t0
-        best = max(scenes, key=lambda s: len(s.registered)) if scenes else None
-        if best is None or len(best.registered) != n_cams:
-            return -1.0
-        est = np.stack([np_geom.camera_center(best.poses[i])
-                        for i in best.registered])
-        if synth.ate_vs_gt(est, scene["centers"][best.registered]) > 0.05:
-            return -1.0
-        return n_cams / dt
-    finally:
-        shutil.rmtree(fold, ignore_errors=True)
+    cfg = PRESETS["web"]()
+    cfg = dataclasses.replace(
+        cfg,
+        database=dataclasses.replace(cfg.database, resize=False,
+                                     max_keypoints=max_kp),
+        graph=dataclasses.replace(cfg.graph, matching_type="all"))
+
+    def run_once():
+        fold = tempfile.mkdtemp(prefix="mtpu_bench_e2e_")
+        try:
+            synth.write_scene_images(fold, scene)
+            t0 = time.perf_counter()
+            db = Database(fold, cfg.database)
+            db.feature_extraction()
+            matches = build_match_graph(db, cfg)
+            feats = {i: db.features(i) for i in range(db.n_images)}
+            scenes = IncrementalSfM(feats, matches, cfg).run()
+            dt = time.perf_counter() - t0
+            best = (max(scenes, key=lambda s: len(s.registered))
+                    if scenes else None)
+            if best is None or len(best.registered) != n_cams:
+                return -1.0
+            est = np.stack([np_geom.camera_center(best.poses[i])
+                            for i in best.registered])
+            if synth.ate_vs_gt(est, scene["centers"][best.registered]) > 0.05:
+                return -1.0
+            return n_cams / dt
+        finally:
+            shutil.rmtree(fold, ignore_errors=True)
+
+    # warmup run compiles every stage (persistent cache helps across
+    # processes but code edits invalidate entries); the timed run measures
+    # steady-state pipeline throughput on a fresh store
+    if run_once() < 0:
+        return -1.0
+    return run_once()
 
 
 def main():

@@ -194,6 +194,46 @@ def epnp(Xw, norm_obs, weights=None):
     return R, t
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def epnp_robust(Xw, obs_px, f, key, mask=None, iters: int = 10,
+                subset_frac: float = 0.9):
+    """Subset-consensus EPnP (ref EPNPRobust, absolute_pose_via_epnp.cc:45-99).
+
+    The reference fits EPnP on 10 random 90% subsets, accumulates each
+    point's reprojection error across the fits, then refits once on the
+    90% of points with the lowest accumulated error.  This version keeps
+    fixed shapes: subsets are Bernoulli(subset_frac) weight masks, the
+    final keep-set is thresholded at the ceil(frac * n_valid)-th smallest
+    accumulated error.
+
+    Returns dict: R, t, inlier_mask, avg_err (mean kept-point error px).
+    """
+    N = Xw.shape[0]
+    m = jnp.ones((N,), bool) if mask is None else mask.astype(bool)
+    norm_obs = obs_px / f
+
+    def body(acc, k):
+        u = jax.random.uniform(k, (N,))
+        keep = (u < subset_frac) & m
+        R, t = epnp(Xw, norm_obs, weights=keep.astype(Xw.dtype))
+        err = reproj_errors_px(R, t, f, Xw, obs_px)
+        return acc + jnp.where(jnp.isfinite(err), err, 1e6), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((N,), Xw.dtype),
+                          jax.random.split(key, iters))
+    acc = jnp.where(m, acc, jnp.inf)
+    n_valid = jnp.sum(m)
+    k_keep = jnp.clip((subset_frac * n_valid).astype(jnp.int32), 4, N)
+    thresh = jnp.sort(acc)[k_keep - 1]
+    inl = m & (acc <= thresh)
+    w = inl.astype(Xw.dtype)
+    R, t = epnp(Xw, norm_obs, weights=w)
+    err = reproj_errors_px(R, t, f, Xw, obs_px)
+    err = jnp.where(jnp.isfinite(err), err, 1e6)
+    avg = jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return {"R": R, "t": t, "inlier_mask": inl, "avg_err": avg}
+
+
 def reproj_errors_px(R, t, f, Xw, obs_px):
     """Per-point reprojection error in px for pose candidates (no distortion)."""
     Xc = jnp.einsum("...ij,nj->...ni", R, Xw) + t[..., None, :]

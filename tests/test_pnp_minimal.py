@@ -66,3 +66,34 @@ def test_dlt_oriented_unknown_focal():
                            jnp.asarray(uv, jnp.float32))
     assert abs(float(out["f"]) - f) / f < 0.01
     np.testing.assert_allclose(np.asarray(out["t"]), t, atol=5e-2)
+
+
+def test_epnp_robust_rejects_gross_outliers():
+    """EPNPRobust semantics (absolute_pose_via_epnp.cc:45-99): subset
+    consensus must recover the pose when 10% of correspondences are gross
+    outliers that wreck a plain all-point EPnP fit."""
+    import jax
+    rng = np.random.default_rng(3)
+    f = 1000.0
+    R, t, Xw, uv = _pose_scene(rng, 60, f=f)
+    uv_bad = uv.copy()
+    bad = rng.choice(60, size=6, replace=False)
+    uv_bad[bad] += rng.uniform(300, 600, size=(6, 2)) * np.sign(
+        rng.standard_normal((6, 2)))
+
+    # plain EPnP on everything is dragged off by the outliers
+    R0, t0 = pnp.epnp(jnp.asarray(Xw, jnp.float32),
+                      jnp.asarray(uv_bad / f, jnp.float32))
+    err_plain = float(np.asarray(pnp.reproj_errors_px(
+        R0, t0, f, jnp.asarray(Xw, jnp.float32),
+        jnp.asarray(uv, jnp.float32))).mean())
+
+    out = pnp.epnp_robust(jnp.asarray(Xw, jnp.float32),
+                          jnp.asarray(uv_bad, jnp.float32), f,
+                          jax.random.PRNGKey(0))
+    R_est = np.asarray(out["R"])
+    inl = np.asarray(out["inlier_mask"])
+    assert np.linalg.norm(R_est - R) < 0.02
+    assert float(out["avg_err"]) < 1.0 < err_plain
+    # the gross outliers are among the dropped points
+    assert not inl[bad].any()
