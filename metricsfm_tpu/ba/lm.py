@@ -58,10 +58,13 @@ class LMConfig(NamedTuple):
     cg_chunk: int = 4096
     # per-camera gather width for the CG matvec reduction: when > 0, the
     # per-view contributions are summed by a (C, K) gather table (one
-    # argsort per solve, ~20x less HBM than one-hot matmuls / scatter) —
-    # MUST be >= the max observations of any single camera or the matvec
-    # silently drops terms; 0 falls back to segment_sum
-    cg_gather_k: int = 0
+    # argsort per solve, ~20x less HBM than one-hot matmuls / scatter).
+    # -1 (default) = auto: solve_lm computes the max slot count of any
+    # camera from the problem at call time; an explicit K smaller than
+    # that is rejected (it would silently drop matvec terms).  0 falls
+    # back to segment_sum (slow but K-free; the only choice under a
+    # tracer where auto cannot inspect the ids).
+    cg_gather_k: int = -1
 
 
 def _residual_one(pose, intr, point, uv):
@@ -590,26 +593,24 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig):
     gps_triple = problem.gps_triple
 
     camf = cam.reshape(-1)
-    modf = model.reshape(-1)
     if cfg.cg_gather_k > 0:
         idx_c = _gather_table(camf, C, cfg.cg_gather_k)
-        idx_m = _gather_table(modf, M, cfg.cg_gather_k)
 
         def reduce_cam(zf):
             zpad = jnp.concatenate(
                 [zf, jnp.zeros((1, zf.shape[1]), zf.dtype)])
             return jnp.sum(zpad[idx_c], axis=1)
-
-        def reduce_mod(zf):
-            zpad = jnp.concatenate(
-                [zf, jnp.zeros((1, zf.shape[1]), zf.dtype)])
-            return jnp.sum(zpad[idx_m], axis=1)
     else:
         def reduce_cam(zf):
             return jax.ops.segment_sum(zf, camf, C)
 
-        def reduce_mod(zf):
-            return jax.ops.segment_sum(zf, modf, M)
+    def reduce_mod(zf):
+        # model ids are a function of the camera id, so reduce per camera
+        # first (the wide axis, gather-table fast path) then fold the C
+        # rows into M model bins — a per-model gather table would need
+        # K = max slots per MODEL, which explodes when cameras share one
+        # model (and silently dropped terms before this fix)
+        return jax.ops.segment_sum(reduce_cam(zf), problem.cam_model, M)
 
     def matvec(x):
         xm = x * free
@@ -720,13 +721,51 @@ def _apply_step(problem: BAProblem, d_pose, d_intr, d_pt):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def required_gather_k(problem: BAProblem) -> int:
+    """Smallest valid cg_gather_k for `problem`: the max number of (P, V)
+    track slots referencing any single camera id (masked slots included —
+    the gather table is built over all slots)."""
+    import numpy as np
+    camf = np.asarray(problem.track_cam).reshape(-1)
+    return int(np.bincount(camf, minlength=problem.n_cameras).max())
+
+
+def resolve_gather_k(problem: BAProblem, cfg: LMConfig) -> LMConfig:
+    """Validate / auto-compute cg_gather_k (host-side, pre-jit).
+
+    A K below the per-camera slot maximum makes the CG matvec silently
+    drop terms (wrong gradients, no error) — reject it.  K < 0 means
+    auto.  Under a tracer the ids cannot be inspected: auto falls back to
+    the K-free segment_sum path, an explicit K is trusted.
+    """
+    if cfg.cg_iterations <= 0 or cfg.cg_gather_k == 0:
+        return cfg
+    if isinstance(problem.track_cam, jax.core.Tracer):
+        if cfg.cg_gather_k < 0:
+            return cfg._replace(cg_gather_k=0)
+        return cfg
+    k_req = required_gather_k(problem)
+    if cfg.cg_gather_k < 0:
+        return cfg._replace(cg_gather_k=k_req)
+    if cfg.cg_gather_k < k_req:
+        raise ValueError(
+            f"cg_gather_k={cfg.cg_gather_k} < {k_req} (max track slots of "
+            f"one camera): the CG matvec would silently drop terms. Use "
+            f"cg_gather_k=-1 for auto or >= {k_req}.")
+    return cfg
+
+
 def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
     """Run LM to convergence (jitted; fixed upper bound cfg.max_iterations).
 
     Returns (problem, info dict) where info carries final cost, iterations
     used, and final lambda.
     """
+    return _solve_lm_jit(problem, resolve_gather_k(problem, cfg))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _solve_lm_jit(problem: BAProblem, cfg: LMConfig = LMConfig()):
     cost0 = problem_cost(problem, cfg.huber_delta)
 
     def cond(state):

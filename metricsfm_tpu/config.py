@@ -64,7 +64,12 @@ class BundleAdjustOptions:
     perturb_sigma_rot: float = 0.1
     perturb_sigma_t: float = 0.5
     perturb_sigma_pt: float = 0.5
-    cg_iterations: int = 0              # 0 => dense Cholesky on reduced camera system
+    # matrix-free block-Jacobi PCG camera solve (ba/lm.py): 0 => dense
+    # Cholesky on the reduced camera system (fine to a few hundred cams),
+    # > 0 => PCG with that iteration cap (scales to thousands of cams)
+    cg_iterations: int = 0
+    cg_tol: float = 1e-5
+    cg_gather_k: int = -1               # -1 = auto (computed per problem)
 
 
 @dataclass(frozen=True)

@@ -69,6 +69,13 @@ class Scene:
         # per-image kp -> track index (-1 = unassigned), filled lazily
         self.kp_to_track: Dict[int, np.ndarray] = {}
         self.localization_failures: Dict[int, int] = {}
+        # monotonically bumped whenever kp_to_track[img] changes structure
+        # (new track / observation / cull); drivers key incremental
+        # 2D-3D correspondence caches on it so the per-step next-image
+        # scan is O(changed neighbourhood), not O(n_remaining * pairs)
+        # (the reference re-harvests every remaining image every step,
+        # sfm_incremental.cc:417-563 — quadratic over a run)
+        self.k2t_version: Dict[int, int] = {}
 
     # -- registration ------------------------------------------------------
     def add_camera_model(self, model: CameraModel) -> int:
@@ -81,6 +88,7 @@ class Scene:
         self.model_of_image[img] = model_idx
         if img not in self.kp_to_track:
             self.kp_to_track[img] = np.full(n_kps, -1, np.int64)
+        self._bump(img)  # registration changes neighbours' harvests too
 
     @property
     def registered(self) -> List[int]:
@@ -90,17 +98,22 @@ class Scene:
         return sum(1 for t in self.tracks if not t.is_bad)
 
     # -- tracks ------------------------------------------------------------
+    def _bump(self, img: int):
+        self.k2t_version[img] = self.k2t_version.get(img, 0) + 1
+
     def add_track(self, xyz, obs: Dict[int, int]) -> int:
         t = Track(xyz=np.asarray(xyz, np.float64), obs=dict(obs))
         idx = len(self.tracks)
         self.tracks.append(t)
         for img, kp in obs.items():
             self.kp_to_track[img][kp] = idx
+            self._bump(img)
         return idx
 
     def add_observation(self, track_idx: int, img: int, kp: int):
         self.tracks[track_idx].obs[img] = kp
         self.kp_to_track[img][kp] = track_idx
+        self._bump(img)
 
     def mark_bad(self, track_idx: int):
         t = self.tracks[track_idx]
@@ -108,6 +121,7 @@ class Scene:
         for img, kp in t.obs.items():
             if self.kp_to_track[img][kp] == track_idx:
                 self.kp_to_track[img][kp] = -1
+                self._bump(img)
 
     # -- 2D-3D correspondence harvest (ref sfm_incremental.cc:417-563) -----
     def correspondences_for_image(self, img: int, match_idx2, match_mask,
@@ -129,7 +143,8 @@ class Scene:
     # -- BAProblem materialization ----------------------------------------
     def to_ba_problem(self, kp_xy: Dict[int, np.ndarray], max_views: int = 16,
                       mutable_images=None, mutable_points=None,
-                      weight_multiview: float = 1.0, dtype=np.float32):
+                      weight_multiview: float = 1.0, dtype=np.float32,
+                      images=None, tracks=None):
         """Build a fixed-shape BAProblem from the live tracks.
 
         Args:
@@ -140,10 +155,16 @@ class Scene:
           mutable_points: None = all live points mutable.
           weight_multiview: weight for >=3-view tracks (ref :1012, 2.0 in
             partial BA).
+          images: restrict the camera axis to these image ids (None = all
+            registered).  Observations from excluded images are dropped.
+          tracks: restrict the point axis to these track indices (None =
+            all live tracks).  Together with `images` this materializes a
+            LOCAL problem — partial BA over the step's covisible
+            neighbourhood stays O(local) regardless of scene size.
         Returns (problem, index_maps) where index_maps maps problem rows back
         to scene track indices and camera image ids.
         """
-        imgs = self.registered
+        imgs = self.registered if images is None else sorted(images)
         img_to_row = {im: i for i, im in enumerate(imgs)}
         # Camera and model axes are bucketed like the point axis: padded
         # rows are frozen (pose_mut/intr_mut = 0) and unreferenced by any
@@ -151,7 +172,10 @@ class Scene:
         # cache survives the one-image-per-step growth of the incremental
         # loop instead of recompiling at every new C.
         C = bucket(len(imgs), 8)
-        live = [i for i, t in enumerate(self.tracks) if not t.is_bad]
+        if tracks is None:
+            live = [i for i, t in enumerate(self.tracks) if not t.is_bad]
+        else:
+            live = [i for i in sorted(tracks) if not self.tracks[i].is_bad]
         P = bucket(max(len(live), 1))
         V = max_views
 

@@ -203,8 +203,9 @@ def epnp_robust(Xw, obs_px, f, key, mask=None, iters: int = 10,
     point's reprojection error across the fits, then refits once on the
     90% of points with the lowest accumulated error.  This version keeps
     fixed shapes: subsets are Bernoulli(subset_frac) weight masks, the
-    final keep-set is thresholded at the ceil(frac * n_valid)-th smallest
-    accumulated error.
+    final keep-set is thresholded at the floor(frac * n_valid)-th smallest
+    accumulated error (truncation, matching the reference's
+    idx_outlier = 0.9 * size()).
 
     Returns dict: R, t, inlier_mask, avg_err (mean kept-point error px).
     """

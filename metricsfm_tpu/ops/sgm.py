@@ -211,8 +211,12 @@ def _disp_from_wta(w, max_disp: int, uniqueness: float, subpixel: bool):
         cc = w["cc"].astype(jnp.float32)
         cp = w["cp"].astype(jnp.float32)
         denom = cm - 2 * cc + cp
-        off = jnp.where(jnp.abs(denom) > 1e-6,
-                        0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
+        # parabola only valid when curvature is positive (a clipped best at
+        # 0 / D-1 can make denom <= 0; dividing by a floored denom flipped
+        # the offset sign there) — suppress the offset instead
+        pos = denom > 1e-6
+        off = jnp.where(pos, 0.5 * (cm - cp) / jnp.where(pos, denom, 1.0),
+                        0.0)
         disp = bm.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0)
         disp = jnp.where(best == 0, 0.0, disp)
     else:
@@ -245,8 +249,12 @@ def winner_takes_all(agg, uniqueness: float = 0.96, subpixel: bool = True):
         cc = jnp.sum(jnp.where(sel == 0, agg, zero), axis=-1).astype(jnp.float32)
         cp = jnp.sum(jnp.where(sel == 1, agg, zero), axis=-1).astype(jnp.float32)
         denom = cm - 2 * cc + cp
-        off = jnp.where(jnp.abs(denom) > 1e-6,
-                        0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
+        # parabola only valid when curvature is positive (a clipped best at
+        # 0 / D-1 can make denom <= 0; dividing by a floored denom flipped
+        # the offset sign there) — suppress the offset instead
+        pos = denom > 1e-6
+        off = jnp.where(pos, 0.5 * (cm - cp) / jnp.where(pos, denom, 1.0),
+                        0.0)
         disp = bm.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0)
         disp = jnp.where(best == 0, 0.0, disp)
     else:

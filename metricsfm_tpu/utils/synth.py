@@ -156,6 +156,116 @@ def render_scene(seed: int = 0, n_cams: int = 6, width: int = 640,
             "focal": float(focal)}
 
 
+def render_aerial(seed: int = 0, rows: int = 10, cols: int = 20,
+                  width: int = 640, height: int = 480,
+                  focal: float | None = None, altitude: float = 40.0,
+                  forward_overlap: float = 0.70, side_overlap: float = 0.55,
+                  tile_rel: float = 0.5, relief: float = 0.12,
+                  tex_size: int = 256):
+    """Render a lawnmower-grid aerial survey over tiled terrain.
+
+    This is the fixture for the BASELINE configs 3-4 (500/1k-image aerial
+    sets; the reference's documented aerial workload, README.md) scaled to
+    rows*cols images: nadir-ish cameras on a rows x cols grid with the
+    given forward/side overlap, over a ground made of textured tiles at
+    different heights (relief = peak height as a fraction of altitude) and
+    small random tilts — genuinely non-planar, so epipolar geometry is
+    well-conditioned, while covisibility stays local (each image overlaps
+    only its grid neighbours, like a real survey).
+
+    Returns the same dict schema as render_scene; `centers[:, :2]` doubles
+    as the UTM easting/northing for GPS-priori candidate selection
+    (ref initial_matching_graph.cc:83-162).
+    """
+    from ..ops import np_geom
+
+    rng = np.random.default_rng(seed)
+    if focal is None:
+        focal = 1.1 * width
+    # ground footprint of one image and grid spacing from overlap
+    fx = altitude * width / focal
+    fy = altitude * height / focal
+    sx = (1.0 - forward_overlap) * fx      # along a flight line (cols)
+    sy = (1.0 - side_overlap) * fy         # across flight lines (rows)
+    extent_x = (cols - 1) * sx + 1.2 * fx
+    extent_y = (rows - 1) * sy + 1.2 * fy
+    x_min = -extent_x / 2.0
+    y_min = -extent_y / 2.0
+
+    ts = tile_rel * min(fx, fy)            # tile edge length
+    nx = int(np.ceil(extent_x / ts)) + 1
+    ny = int(np.ceil(extent_y / ts)) + 1
+    tiles = []
+    for iy in range(ny):
+        for ix in range(nx):
+            dz = rng.uniform(-relief, relief) * altitude
+            tilt_u = rng.uniform(-0.08, 0.08) * ts
+            tilt_v = rng.uniform(-0.08, 0.08) * ts
+            tiles.append(dict(
+                P0=np.array([x_min + ix * ts, y_min + iy * ts,
+                             altitude + dz]),
+                U=np.array([ts, 0.0, tilt_u]),
+                V=np.array([0.0, ts, tilt_v]),
+                tex=multiscale_texture(rng, tex_size,
+                                       scales=(6, 16, 40, 96)),
+            ))
+    tile_centers = np.stack([t["P0"] + 0.5 * t["U"] + 0.5 * t["V"]
+                             for t in tiles])
+
+    n_cams = rows * cols
+    K = np.array([[focal, 0.0, width / 2.0],
+                  [0.0, focal, height / 2.0],
+                  [0.0, 0.0, 1.0]])
+    xs, ys = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+
+    images = np.zeros((n_cams, height, width), np.float32)
+    poses = np.zeros((n_cams, 6), np.float64)
+    centers = np.zeros((n_cams, 3), np.float64)
+    cull_r = 0.9 * np.hypot(fx, fy)
+    ci = 0
+    for row in range(rows):
+        # lawnmower: alternate direction per flight line
+        col_order = range(cols) if row % 2 == 0 else range(cols - 1, -1, -1)
+        for col in col_order:
+            c = np.array([
+                x_min + 0.6 * fx + col * sx + rng.normal(0, 0.02 * sx),
+                y_min + 0.6 * fy + row * sy + rng.normal(0, 0.02 * sy),
+                rng.normal(0, 0.01 * altitude),
+            ])
+            target = np.array([c[0], c[1], altitude]) \
+                + rng.normal(0, 0.01 * altitude, 3) * np.array([1, 1, 0])
+            R = _look_at(c, target)
+            t = -R @ c
+            poses[ci] = np.concatenate([np_geom.matrix_to_angle_axis(R), t])
+            centers[ci] = c
+
+            img = np.zeros((height, width), np.float32)
+            d_xy = np.linalg.norm(tile_centers[:, :2] - c[:2], axis=1)
+            near = np.where(d_xy < cull_r)[0]
+            order = near[np.argsort(-np.linalg.norm(
+                tile_centers[near] - c, axis=1))]
+            for pi in order:
+                p = tiles[pi]
+                A = np.stack([p["U"], p["V"], p["P0"]], axis=1)
+                Hm = K @ (R @ A + t[:, None] @ np.array([[0.0, 0.0, 1.0]]))
+                Hinv = np.linalg.inv(Hm)
+                st = pix @ Hinv.T
+                w = st[..., 2]
+                s = st[..., 0] / np.where(np.abs(w) < 1e-12, 1e-12, w)
+                tt = st[..., 1] / np.where(np.abs(w) < 1e-12, 1e-12, w)
+                X = (s[..., None] * p["U"] + tt[..., None] * p["V"]
+                     + p["P0"])
+                z_cam = X @ R[2] + t[2]
+                hit = ((s >= 0) & (s <= 1) & (tt >= 0) & (tt <= 1)
+                       & (z_cam > 0.2))
+                img = np.where(hit, _bilinear(p["tex"], s, tt), img)
+            images[ci] = img
+            ci += 1
+    return {"images": images, "poses": poses, "centers": centers,
+            "focal": float(focal)}
+
+
 def write_scene_images(fold: str, scene: dict) -> List[str]:
     """Write the rendered views as 8-bit PNGs into `fold` (what the Database
     discovery stage expects)."""
