@@ -443,7 +443,10 @@ def _chunked_reduce(vals, ids, n: int, chunk: int):
         oh = jax.nn.one_hot(i, n, dtype=v.dtype)       # (chunk, V, n)
         return acc + jnp.einsum("pvn,pvk->nk", oh, v), None
 
-    acc0 = jnp.zeros((n, k), vals.dtype)
+    # the `+ 0 * vals[...]` term marks the carry as shard-varying so the
+    # scan type-checks under shard_map (the body output inherits the data
+    # axis' varying tag from vals); fused away by XLA otherwise
+    acc0 = jnp.zeros((n, k), vals.dtype) + 0.0 * vals.reshape(-1)[0]
     out, _ = jax.lax.scan(body, acc0, (vals, ids))
     return out
 
@@ -565,8 +568,17 @@ def _gather_table(ids, n: int, K: int):
     return jnp.where(valid, order[jnp.clip(pos, 0, PV - 1)], PV)
 
 
-def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig):
-    """Block-Jacobi PCG on the damped, freeze-masked reduced system."""
+def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
+              axis_name=None):
+    """Block-Jacobi PCG on the damped, freeze-masked reduced system.
+
+    With `axis_name` set (inside shard_map over a track shard), the only
+    communication is ONE psum of the (D,) track-term matvec partial per CG
+    iteration: per-track terms are shard-local, `reduce_cam`/`reduce_mod`
+    partials are additive, and the camera-indexed GPS/prior/damping terms
+    are replicated so each shard adds them to its post-psum copy
+    identically.  `rhs` and the preconditioner blocks must already be
+    psum-complete (see _assemble_and_solve_cg)."""
     C, M = problem.n_cameras, problem.n_models
     D = 6 * C + 3 * M
     dtype = rhs.dtype
@@ -629,6 +641,10 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig):
         zp = reduce_cam(z[:, :6])
         zi = reduce_mod(z[:, 6:])
         Sx = jnp.concatenate([zp.reshape(-1), zi.reshape(-1)])
+        if axis_name is not None:
+            # the one collective per CG iteration: complete the
+            # track-term partial over the shard axis
+            Sx = jax.lax.psum(Sx, axis_name)
         # GPS/prior blocks
         xp = xm[:6 * C].reshape(C, 6)
         Sx = Sx.at[:6 * C].add(jnp.einsum("cij,cj->ci", Hg, xp).reshape(-1))
@@ -689,11 +705,19 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig):
     return x * free
 
 
-def _assemble_and_solve_cg(problem: BAProblem, lam, cfg: LMConfig):
+def _assemble_and_solve_cg(problem: BAProblem, lam, cfg: LMConfig,
+                           axis_name=None):
     C, M = problem.n_cameras, problem.n_models
     terms, rhs, aux = _track_terms(problem, lam, cfg)
+    if axis_name is not None:
+        # complete the track-summed pieces once per solve; the per-iteration
+        # matvec psum lives inside _cg_solve
+        rhs = jax.lax.psum(rhs, axis_name)
+        terms["blk_pose"] = jax.lax.psum(terms["blk_pose"], axis_name)
+        terms["blk_intr"] = jax.lax.psum(terms["blk_intr"], axis_name)
     Hg, Ht, rhs_extra = _gps_prior_blocks(problem)
-    d_cam = _cg_solve(problem, terms, Hg, Ht, rhs + rhs_extra, lam, cfg)
+    d_cam = _cg_solve(problem, terms, Hg, Ht, rhs + rhs_extra, lam, cfg,
+                      axis_name=axis_name)
     d_pt = backsub_points(aux, d_cam, problem)
     d_pose = d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None]
     d_intr = d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None]

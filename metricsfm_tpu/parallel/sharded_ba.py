@@ -24,9 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ba.lm import (LMConfig, backsub_points, gps_residuals,
-                     gps_triple_residuals, partial_camera_system,
-                     pose_prior_residuals, robust_cost, solve_reduced,
+from ..ba.lm import (LMConfig, _assemble_and_solve_cg, backsub_points,
+                     gps_residuals, gps_triple_residuals,
+                     partial_camera_system, pose_prior_residuals,
+                     resolve_gather_k, robust_cost, solve_reduced,
                      compute_residuals)
 from ..ba.problem import BAProblem
 
@@ -45,15 +46,28 @@ def _local_cost(problem: BAProblem, huber_delta, axis_name):
 
 def _make_step(cfg: LMConfig, axis_name: str):
     def step(problem: BAProblem, lam):
-        """One LM candidate step on the local shard (collectives inside)."""
+        """One LM candidate step on the local shard (collectives inside).
+
+        cfg.cg_iterations > 0 selects the matrix-free block-Jacobi PCG
+        camera solve — the path that scales to 1k+ cameras (the dense
+        partial materializes an O(P_shard*C) one-hot factor and a full
+        (D, D) S per device).  Its communication is one (D,) psum per CG
+        iteration instead of one (D, D) psum per LM iteration.
+        """
         C, M = problem.n_cameras, problem.n_models
-        S_part, rhs_part, aux = partial_camera_system(problem, lam, cfg)
-        S = jax.lax.psum(S_part, axis_name)
-        rhs = jax.lax.psum(rhs_part, axis_name)
-        d_cam = solve_reduced(S, rhs, problem, lam, cfg)
-        d_pt = backsub_points(aux, d_cam, problem)
-        d_pose = d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None]
-        d_intr = d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None]
+        if cfg.cg_iterations > 0:
+            d_pose, d_intr, d_pt = _assemble_and_solve_cg(
+                problem, lam, cfg, axis_name=axis_name)
+        else:
+            S_part, rhs_part, aux = partial_camera_system(problem, lam, cfg)
+            S = jax.lax.psum(S_part, axis_name)
+            rhs = jax.lax.psum(rhs_part, axis_name)
+            d_cam = solve_reduced(S, rhs, problem, lam, cfg)
+            d_pt = backsub_points(aux, d_cam, problem)
+            d_pose = (d_cam[:6 * C].reshape(C, 6)
+                      * problem.pose_mut[:, None])
+            d_intr = (d_cam[6 * C:].reshape(M, 3)
+                      * problem.intr_mut[:, None])
         return problem._replace(
             poses=problem.poses + d_pose,
             intrs=problem.intrs + d_intr,
@@ -117,8 +131,14 @@ def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
 
 def solve_lm_sharded(problem: BAProblem, mesh: Mesh,
                      cfg: LMConfig = LMConfig(), axis_name: str = "data"):
-    """Convenience wrapper: shard tracks, run, return gathered problem."""
+    """Convenience wrapper: shard tracks, run, return gathered problem.
+
+    Resolves cg_gather_k host-side from the full problem (the global
+    per-camera slot maximum bounds every shard's, so the per-shard gather
+    tables are always wide enough).
+    """
     from .mesh import shard_tracks
+    cfg = resolve_gather_k(problem, cfg)
     sharded = shard_tracks(problem, mesh, axis_name)
     solver = make_sharded_lm(mesh, cfg, axis_name)
     out, info = solver(sharded)

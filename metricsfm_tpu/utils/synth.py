@@ -266,6 +266,63 @@ def render_aerial(seed: int = 0, rows: int = 10, cols: int = 20,
             "focal": float(focal)}
 
 
+def synthetic_ba_problem(n_cams: int = 1024, n_pts: int = 131072,
+                         max_views: int = 6, seed: int = 0,
+                         noise_pose: float = 0.01, noise_pt: float = 0.05,
+                         focal: float = 1000.0):
+    """Large-scale synthetic BAProblem (the BASELINE 1k-camera shape).
+
+    Cameras sweep an arc over a point cloud; each point is observed by a
+    window of `max_views` consecutive cameras (bounded per-camera slot
+    counts — the realistic sparsity of a survey, and what the CG gather
+    table needs).  Observations are exact projections of the ground truth;
+    poses/points are returned perturbed.  Host-side numpy (fixture
+    generation, not a pipeline stage).
+    """
+    import jax.numpy as jnp
+
+    from ..ba import problem as ba_problem
+    from ..ops import np_geom
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-40, 40, size=(n_pts, 3))
+    pts[:, 2] += 80.0
+    poses = np.zeros((n_cams, 6))
+    for i in range(n_cams):
+        ang = (i - n_cams / 2) * (2.0 / n_cams)
+        c = np.array([np.sin(ang) * 80.0, 2.0 * np.sin(2 * ang),
+                      80.0 - np.cos(ang) * 80.0])
+        z = np.array([0.0, 0.0, 80.0]) + rng.normal(0, 3.0, 3) - c
+        z /= np.linalg.norm(z)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x /= np.linalg.norm(x)
+        R = np.stack([x, np.cross(z, x), z])
+        poses[i] = np.concatenate([np_geom.matrix_to_angle_axis(R), -R @ c])
+    intrs = np.tile(np.array([[focal, 0.0, 0.0]]), (n_cams, 1))
+
+    base = (rng.integers(0, n_cams, size=n_pts)[:, None]
+            + np.arange(max_views)[None, :]) % n_cams
+    track_cam = base.astype(np.int32)
+    camf = track_cam.reshape(-1)
+    # exact pinhole projection, host numpy
+    Rs = np.stack([np_geom.pose_to_Rt(p)[0] for p in poses])
+    ts = np.stack([np_geom.pose_to_Rt(p)[1] for p in poses])
+    Xc = (np.einsum("nij,nj->ni", Rs[camf],
+                    np.repeat(pts, max_views, axis=0)) + ts[camf])
+    zc = np.where(np.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+    track_uv = (focal * Xc[:, :2] / zc[:, None]).reshape(
+        n_pts, max_views, 2)
+    track_mask = np.ones((n_pts, max_views), bool)
+    prob = ba_problem.build_problem(
+        poses + rng.normal(0, noise_pose, poses.shape), intrs,
+        np.arange(n_cams), pts + rng.normal(0, noise_pt, pts.shape),
+        track_cam, track_uv, track_mask)
+    prob = prob._replace(
+        pose_mut=jnp.ones((n_cams,)).at[0].set(0.0),
+        intr_mut=jnp.zeros((n_cams,)))
+    return prob
+
+
 def write_scene_images(fold: str, scene: dict) -> List[str]:
     """Write the rendered views as 8-bit PNGs into `fold` (what the Database
     discovery stage expects)."""
