@@ -96,6 +96,11 @@ class SfMOptions:
     th_hierarchical_cameras: int = 400
     submap_max_cams: int = 64
     submap_overlap: int = 8
+    # Full BA switches from dense Schur to the matrix-free PCG camera
+    # solve at this camera count (needs ba.cg_iterations > 0).  The dense
+    # partial materializes O(P*C) one-hot factors — ~1.5 GB per operand at
+    # 200 cams / 100k pts — while the CG matvec stays O(P*V).
+    th_cg_cameras: int = 128
     weight_multiview: float = 2.0       # ≥3-view track weight in partial BA
     # batched RANSAC budgets (ref §6 table)
     ransac_8pt_iters: int = 256

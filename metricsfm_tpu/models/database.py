@@ -203,11 +203,14 @@ class Database:
             if verbose:
                 print(f"vocabulary: {voc.n_words} words")
         n_words = int(voc.n_words)
-        counts = np.zeros((self.n_images, n_words), np.float32)
+        dense = self.n_images * n_words <= 50_000_000
+        counts = np.zeros((self.n_images, n_words), np.float32) if dense \
+            else None
         for i in range(self.n_images):
             cached = fstore.read_words(self.out, i)
             if cached is not None:
-                counts[i] = cached["counts"]
+                if dense:
+                    counts[i] = cached["counts"]
                 continue
             f = self.features(i)
             if int(f.mask.sum()) < self.opts.min_keypoints_for_words:
@@ -221,6 +224,21 @@ class Database:
                                   jnp.asarray(f.mask))
             fstore.write_words(self.out, i, words=np.asarray(words),
                                counts=np.asarray(cts))
-            counts[i] = np.asarray(cts)
+            if dense:
+                counts[i] = np.asarray(cts)
             self.release(i)
+        # beyond ~50M dense entries (e.g. 5k images x 65k words = 1.3 GB)
+        # the counts matrix is not materialized; candidate selection goes
+        # through word_lists() + ops.kmeans.similarity_chunked
         return voc, counts
+
+    def word_lists(self):
+        """Per-image keypoint word-id arrays (build_words must have run).
+        The sparse counterpart of the dense counts matrix — O(total
+        keypoints) memory regardless of vocabulary size."""
+        out = []
+        for i in range(self.n_images):
+            cached = fstore.read_words(self.out, i)
+            out.append(cached["words"] if cached is not None
+                       else np.empty(0, np.int32))
+        return out

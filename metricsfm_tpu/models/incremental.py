@@ -465,13 +465,19 @@ class IncrementalSfM:
         prob, maps = scene.to_ba_problem(
             kp_xy, max_views=16, mutable_images=mutable,
             weight_multiview=weight, images=images, tracks=local_tracks)
+        # dense Schur below th_cg_cameras (exact, cheap at small C);
+        # matrix-free PCG above it (the dense one-hot factor is O(P*C))
+        use_cg = (self._lm_cfg.cg_iterations > 0
+                  and len(kp_imgs) >= self.cfg.sfm.th_cg_cameras)
+        base_cfg = self._lm_cfg if use_cg \
+            else self._lm_cfg._replace(cg_iterations=0)
         if seed_run:
             prob, tf = ba_problem.normalize_problem(
                 prob, self.cfg.ba.normalize_scale)
             prob = ba_problem.perturb_problem(
                 prob, self._next_key(), self.cfg.ba.perturb_sigma_rot,
                 self.cfg.ba.perturb_sigma_t, self.cfg.ba.perturb_sigma_pt)
-        lm_cfg = self._lm_cfg if full else self._lm_cfg._replace(max_iterations=30)
+        lm_cfg = base_cfg if full else base_cfg._replace(max_iterations=30)
         prob, info = solve_lm(prob, lm_cfg)
         if seed_run:
             prob = ba_problem.denormalize_problem(prob, tf)

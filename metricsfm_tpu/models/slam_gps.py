@@ -155,11 +155,13 @@ def turn_weights(gps: np.ndarray, window: int = 20, max_deg: float = 80.0
 class SLAMGPS:
     """The SLAMGPS::Run pipeline (slam_gps.cc:63-137)."""
 
-    def __init__(self, config: PipelineConfig, seed: int = 0):
+    def __init__(self, config: PipelineConfig, seed: int = 0, mesh=None):
         import jax
         self.cfg = config
         self.gps_offset = np.zeros(3)
         self.key = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        self._rematch_cache: Dict[tuple, object] = {}
 
     def _next_key(self):
         import jax
@@ -302,57 +304,123 @@ class SLAMGPS:
         """Step 2 of ref FeatureMatching (slam_gps.cc:424-553): 2-NN from
         image j's descriptors into image i (ratio 0.8), gated by the prior
         F epipolar distance and the prior-H displacement, then F-RANSAC
-        geo-verification.  Returns {(i, j): (kp_i, kp_j) arrays}."""
-        from ..ops import matching
-        from ..utils import geo_verification as geo
+        geo-verification.  Returns {(i, j): (kp_i, kp_j) arrays}.
+
+        TPU re-design: the whole chain (2-NN + gates + F-RANSAC) is ONE
+        jitted vmapped dispatch per (B, N, D) pair batch over a
+        device-resident feature store — the round-2 per-pair host loop
+        was the round-1 MatchGraphBuilder antipattern and capped at ~20
+        keyframes (ref windows span thousands, slam_gps.cc:424-553).
+        Pair batches shard over the mesh data axis when one is provided.
+        """
+        import jax
 
         priors = self.window_match_priors(scene, verbose)
+        if not priors:
+            return {}
         th_epi = self.cfg.slam.epipolar_px / self.cfg.slam.resize_ratio
         th_dist = 5.0 / self.cfg.slam.resize_ratio
         ratio = self.cfg.slam.ratio_video
+
+        imgs = sorted({k for p in priors for k in p})
+        row_of = {im: r for r, im in enumerate(imgs)}
+        kmax = max(int(features[i].mask.shape[0]) for i in imgs)
+        N = -(-kmax // 128) * 128
+        D = features[imgs[0]].desc.shape[1]
+        desc_all = np.zeros((len(imgs), N, D), np.float32)
+        xy_all = np.zeros((len(imgs), N, 2), np.float32)
+        mask_all = np.zeros((len(imgs), N), bool)
+        for r, im in enumerate(imgs):
+            f = features[im]
+            k = f.mask.shape[0]
+            desc_all[r, :k] = f.desc
+            xy_all[r, :k] = f.xy
+            mask_all[r, :k] = f.mask
+        desc_all = jnp.asarray(desc_all)
+        xy_all = jnp.asarray(xy_all)
+        mask_all = jnp.asarray(mask_all)
+
+        verify = self._rematch_verifier(ratio, th_epi, th_dist,
+                                        chunk=min(2048, N))
+        pair_list = sorted(priors)
+        Fs = np.stack([priors[p][0] for p in pair_list]).astype(np.float32)
+        Hs = np.stack([priors[p][1] for p in pair_list]).astype(np.float32)
+        B = 32
         out: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
-        for (i, j), (F, Hm) in priors.items():
-            fi, fj = features[i], features[j]
-            res = matching.match_pair(
-                jnp.asarray(fj.desc), jnp.asarray(fi.desc),
-                jnp.asarray(fj.mask), jnp.asarray(fi.mask),
-                ratio_good=ratio, ratio_all=ratio)
-            idx_i = np.asarray(res["idx2"])          # per kp_j: best kp_i
-            keep = np.array(res["all"])              # writable host copy
-            p1 = fi.xy[idx_i]                        # (Kj, 2) in image i
-            p2 = fj.xy                               # (Kj, 2) in image j
-            # epipolar gate vs the prior F (ref :481-489)
-            l2 = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ F.T
-            epi = np.abs((l2[:, 0] * p2[:, 0] + l2[:, 1] * p2[:, 1]
-                          + l2[:, 2])) / np.maximum(
-                np.hypot(l2[:, 0], l2[:, 1]), 1e-9)
-            keep &= epi <= th_epi
-            # homography displacement gate (ref :492-499, 40*th_distance)
-            ph = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ Hm.T
-            ph = ph[:, :2] / np.maximum(np.abs(ph[:, 2:]), 1e-9) \
-                * np.sign(ph[:, 2:] + 1e-30)
-            keep &= np.hypot(*(ph - p2).T) <= 40 * th_dist
-            if keep.sum() < 8:
-                continue
-            # final geo-verification (ref GeoVerificationFundamental)
-            kp_j = np.where(keep)[0]
-            kp_i = idx_i[kp_j]
-            n = len(kp_j)
-            pad = bucket(n, 64) - n
-            g1 = np.pad(p1[kp_j], ((0, pad), (0, 0))).astype(np.float32)
-            g2 = np.pad(p2[kp_j], ((0, pad), (0, 0))).astype(np.float32)
-            gm = np.zeros(n + pad, bool)
-            gm[:n] = True
-            ok, inlier_mask, _ = geo.verify_fundamental(
-                jnp.asarray(g1), jnp.asarray(g2), self._next_key(),
-                mask=jnp.asarray(gm))
-            if not ok:
-                continue
-            inl = inlier_mask[:n]
-            out[(i, j)] = (kp_i[inl], kp_j[inl])
-            if verbose:
-                print(f"  slam match {i}-{j}: {int(inl.sum())} matches")
+        for b0 in range(0, len(pair_list), B):
+            chunk_pairs = pair_list[b0:b0 + B]
+            nb = len(chunk_pairs)
+            fill = chunk_pairs + [chunk_pairs[-1]] * (B - nb)
+            ii = np.array([row_of[i] for i, _ in fill], np.int32)
+            jj = np.array([row_of[j] for _, j in fill], np.int32)
+            Fb = np.concatenate([Fs[b0:b0 + nb]] + [Fs[b0 + nb - 1:b0 + nb]]
+                                * (B - nb))
+            Hb = np.concatenate([Hs[b0:b0 + nb]] + [Hs[b0 + nb - 1:b0 + nb]]
+                                * (B - nb))
+            keys = jax.random.split(self._next_key(), B)
+            keep, idx_i, ok = verify(desc_all, xy_all, mask_all,
+                                     jnp.asarray(ii), jnp.asarray(jj),
+                                     jnp.asarray(Fb), jnp.asarray(Hb), keys)
+            keep = np.asarray(keep)
+            idx_i = np.asarray(idx_i)
+            ok = np.asarray(ok)
+            for b, (i, j) in enumerate(chunk_pairs):
+                if not ok[b]:
+                    continue
+                kp_j = np.where(keep[b])[0]
+                out[(i, j)] = (idx_i[b][kp_j].astype(np.int64),
+                               kp_j.astype(np.int64))
+                if verbose:
+                    print(f"  slam match {i}-{j}: {len(kp_j)} matches")
         return out
+
+    def _rematch_verifier(self, ratio, th_epi, th_dist, chunk: int):
+        """Build (and cache) the jitted batched rematch chain."""
+        import jax
+        from ..ops import matching, ransac
+        from ..ops import epipolar as epi_ops
+
+        key = (ratio, th_epi, th_dist, chunk)
+        if key in self._rematch_cache:
+            return self._rematch_cache[key]
+
+        def one(dj, di, mj, mi, xi, xj, F, Hm, k):
+            res = matching.match_pair(dj, di, mj, mi, ratio_good=ratio,
+                                      ratio_all=ratio, chunk=chunk)
+            idx_i = res["idx2"]                    # per kp_j: best kp_i
+            keep = res["all"]
+            p1 = xi[idx_i]                         # (Kj, 2) in image i
+            p2 = xj                                # (Kj, 2) in image j
+            # epipolar gate vs the prior F (ref :481-489)
+            keep = keep & (epi_ops.epipolar_distance(F, p1, p2) <= th_epi)
+            # homography displacement gate (ref :492-499, 40*th_distance)
+            ph = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], 1) @ Hm.T
+            w = ph[:, 2:]
+            ph2 = ph[:, :2] / jnp.where(jnp.abs(w) < 1e-9,
+                                        jnp.where(w < 0, -1e-9, 1e-9), w)
+            disp = jnp.linalg.norm(ph2 - p2, axis=1)
+            keep = keep & (disp <= 40 * th_dist)
+            # final F-RANSAC geo-verification over the gated set
+            fr = ransac.fundamental_ransac(p1, p2, k, mask=keep)
+            keep = keep & fr["inlier_mask"]
+            ok = fr["ok"] & (jnp.sum(keep) >= 8)
+            return keep & ok, idx_i, ok
+
+        def gathered(desc, xy, mask, ii, jj, Fb, Hb, keys):
+            fn = lambda i, j, F, Hm, k: one(desc[j], desc[i], mask[j],
+                                            mask[i], xy[i], xy[j], F, Hm, k)
+            return jax.vmap(fn)(ii, jj, Fb, Hb, keys)
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            repl, spec = P(), P("data")
+            gathered = jax.shard_map(
+                gathered, mesh=self.mesh,
+                in_specs=(repl, repl, repl, spec, spec, spec, spec, spec),
+                out_specs=(spec, spec, spec))
+        fn = jax.jit(gathered)
+        self._rematch_cache[key] = fn
+        return fn
 
     def retriangulate(self, scene: Scene, matches, features,
                       use_slam_pt: bool = False, verbose=False):

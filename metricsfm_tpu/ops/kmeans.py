@@ -183,6 +183,60 @@ def word_intersection_counts(counts):
     return jnp.dot(present, present.T, preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=())
+def _accum_block(S, I, Wblk, Pblk):
+    S = S + jnp.dot(Wblk, Wblk.T, preferred_element_type=jnp.float32)
+    I = I + jnp.dot(Pblk, Pblk.T, preferred_element_type=jnp.float32)
+    return S, I
+
+
+def similarity_chunked(word_lists, n_words: int,
+                       stop_word_frac: float = 0.01, block: int = 8192):
+    """similarity_matrix + word_intersection_counts from per-image word-id
+    lists, streamed over word BLOCKS — never materializes the
+    (n_images, n_words) counts matrix (1.3 GB+ at 5k images x 65k words,
+    the round-2 image-count cap; ref similarity_graph.cc:47-117 streams an
+    inverted file for the same reason).
+
+    Args:
+      word_lists: sequence of int arrays of per-keypoint word ids (-1 =
+        masked, duplicates = multi-hit words), one per image.
+      n_words: vocabulary size.
+    Returns (sim (n, n) np.float32 cosine with zero diagonal,
+             inter (n, n) np.float32 distinct-word intersection counts).
+    Peak memory: O(n^2 + n * block).
+    """
+    n = len(word_lists)
+    sorted_w = [np.sort(np.asarray(w)[np.asarray(w) >= 0])
+                for w in word_lists]
+    # pass 1: document frequency -> stop words + idf
+    doc_freq = np.zeros(n_words, np.float32)
+    for w in sorted_w:
+        doc_freq[np.unique(w)] += 1.0
+    keep = doc_freq <= max(stop_word_frac * n_words, 1.0)
+    idf = np.log(np.maximum(n / np.maximum(doc_freq, 1.0), 1.0)) \
+        * keep.astype(np.float32)
+    # pass 2: accumulate S_raw = sum_blk W W^T and presence intersections
+    S = jnp.zeros((n, n), jnp.float32)
+    I = jnp.zeros((n, n), jnp.float32)
+    for w0 in range(0, n_words, block):
+        blk = min(block, n_words - w0)
+        Wblk = np.zeros((n, blk), np.float32)
+        for i, w in enumerate(sorted_w):
+            lo, hi = np.searchsorted(w, [w0, w0 + blk])
+            if hi > lo:
+                Wblk[i] = np.bincount(w[lo:hi] - w0, minlength=blk)
+        Pblk = (Wblk > 0).astype(np.float32)
+        Wblk *= idf[w0:w0 + blk][None, :]
+        S, I = _accum_block(S, I, jnp.asarray(Wblk), jnp.asarray(Pblk))
+    S = np.asarray(S)
+    I = np.asarray(I)
+    norms = np.sqrt(np.maximum(np.diagonal(S), 1e-12))
+    S = S / norms[:, None] / norms[None, :]
+    np.fill_diagonal(S, 0.0)
+    return S.astype(np.float32), I
+
+
 def top_candidates(sim, n_candidates: int):
     """Per-image top-k similar images (ref initial_matching_graph.cc:168-169:
     min(max(200, n/10), 500) candidates per image)."""

@@ -110,6 +110,103 @@ def _knn2_pallas_impl(desc1, desc2, mask2=None, bq: int = 512,
     return d1_sq, d2_sq, idx
 
 
+# ---------------------------------------------------------------------------
+# int8 variant: 2x MXU throughput on TPU v5e (394 int8 TOP/s vs 197 bf16
+# TFLOP/s peak).  SIFT descriptors are non-negative and uint8-quantized in
+# the reference (feature_extractor_vl_sift.cpp:202, x512 saturated at 255);
+# this path quantizes the unit-norm f32 descriptors to [0,127] (scale 256 =
+# half the reference's quantum) and does the exact 2-NN in the QUANTIZED
+# space: top-2 of val = 2*a.b_int - |b|^2_int per row, so argmax order
+# equals quantized-distance order even though |b|^2 varies per column.
+# ---------------------------------------------------------------------------
+
+_INT8_SCALE = 256.0           # q = clip(round(d * 256), 0, 127)
+_VAL_SHIFT = 6                # packed value quantum: 64 int units
+_MASKED_VAL = -(1 << 23)      # below any real val (>= -|b|^2 >= -2.1e6)
+
+
+def quantize_desc_int8(desc):
+    """Quantize non-negative L2-normalized descriptors to int8 [0, 127]."""
+    return jnp.clip(jnp.round(desc * _INT8_SCALE), 0, 127).astype(jnp.int8)
+
+
+def _kernel_int8(q_ref, db_ref, nb_ref, out_ref):
+    sim = jnp.dot(q_ref[:], db_ref[:], preferred_element_type=jnp.int32,
+                  precision=jax.lax.Precision.DEFAULT)
+    # val = 2 a.b - |b|^2 (int units): per-row argmax(val) == argmin(d^2).
+    # masked columns carry nb = 1<<26 so val is hugely negative; the clamp
+    # pins them at _MASKED_VAL and keeps the packing overflow-free
+    val = jnp.maximum(2 * sim - nb_ref[:], _MASKED_VAL)
+    cols = jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
+    # low 13 bits = col (exact even for negative val: the product is a
+    # multiple of 2^13), high bits = val >> 6
+    pk = (val >> _VAL_SHIFT) * (1 << _COL_BITS) + cols
+    m1 = jnp.max(pk, axis=1)
+    arg = m1 & _COL_MASK
+    pk2 = jnp.where(cols == arg[:, None], jnp.int32(-(2 ** 31) + 1), pk)
+    m2 = jnp.max(pk2, axis=1)
+    out_ref[0, :] = m1
+    out_ref[1, :] = m2
+
+
+def _knn2_pallas_int8_impl(desc1, desc2, mask2=None, bq: int = 1024,
+                           interpret: bool = False):
+    """int8 fused 2-NN.  Returns (d1_sq, d2_sq, idx) in unit-norm distance
+    units (d^2 in [0, ~2]), quantized to ~1e-3."""
+    N1, D = desc1.shape
+    N2 = desc2.shape[0]
+    pad1 = (-N1) % bq
+    pad2 = (-N2) % 128
+    n2p = N2 + pad2
+    if n2p > _MAX_DB:
+        raise ValueError(
+            f"database too large for packed kernel: {n2p} > {_MAX_DB}")
+    q8 = quantize_desc_int8(jnp.pad(desc1, ((0, pad1), (0, 0))))
+    db8 = quantize_desc_int8(jnp.pad(desc2, ((0, pad2), (0, 0))))
+    nb = jnp.sum(db8.astype(jnp.int32) ** 2, axis=1)        # (N2p,)
+    m = jnp.ones((N2,), bool) if mask2 is None else mask2.astype(bool)
+    m = jnp.pad(m, (0, pad2))
+    nb = jnp.where(m, nb, jnp.int32(1 << 26))[None, :]      # (1, N2p)
+
+    n1p = N1 + pad1
+    nq = n1p // bq
+    out = pl.pallas_call(
+        _kernel_int8,
+        grid=(nq,),
+        in_specs=[
+            pl.BlockSpec((bq, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, n2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, bq), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, n1p), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(q8, db8.T, nb)
+
+    na = jnp.sum(q8[:N1].astype(jnp.int32) ** 2, axis=1)    # (N1,)
+    m1 = out[0, :N1]
+    m2 = out[1, :N1]
+    idx = m1 & _COL_MASK
+    val1 = (m1 >> _COL_BITS) << _VAL_SHIFT
+    val2 = (m2 >> _COL_BITS) << _VAL_SHIFT
+    inv_s2 = 1.0 / (_INT8_SCALE * _INT8_SCALE)
+    d1_sq = jnp.maximum(na - val1, 0).astype(jnp.float32) * inv_s2
+    d2_sq = jnp.maximum(na - val2, 0).astype(jnp.float32) * inv_s2
+    return d1_sq, d2_sq, idx
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "interpret"))
+def knn2_pallas_int8(desc1, desc2, mask2=None, bq: int = 1024,
+                     interpret: bool = False):
+    """Exact-in-quantized-space 2-NN via the int8 fused kernel."""
+    return _knn2_pallas_int8_impl(desc1, desc2, mask2, bq=bq,
+                                  interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("bq", "interpret"))
 def knn2_pallas(desc1, desc2, mask2=None, bq: int = 512,
                 interpret: bool = False):
