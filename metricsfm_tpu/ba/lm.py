@@ -606,7 +606,14 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
 
     camf = cam.reshape(-1)
     if cfg.cg_gather_k > 0:
-        idx_c = _gather_table(camf, C, cfg.cg_gather_k)
+        # masked slots contribute exactly zero to the matvec (their J/W
+        # rows are mask-scaled to 0), so route them to the sentinel bin C:
+        # they drop out of the gather table and K only needs to cover REAL
+        # observations.  (Padded tracks all point at camera 0 — counting
+        # them once ballooned K to the total padded-slot count and the
+        # (C, K, 6) gather to gigabytes.)
+        camf_eff = jnp.where(problem.track_mask.reshape(-1), camf, C)
+        idx_c = _gather_table(camf_eff, C, cfg.cg_gather_k)
 
         def reduce_cam(zf):
             zpad = jnp.concatenate(
@@ -746,12 +753,15 @@ def _apply_step(problem: BAProblem, d_pose, d_intr, d_pt):
 
 
 def required_gather_k(problem: BAProblem) -> int:
-    """Smallest valid cg_gather_k for `problem`: the max number of (P, V)
-    track slots referencing any single camera id (masked slots included —
-    the gather table is built over all slots)."""
+    """Smallest valid cg_gather_k for `problem`: the max number of VALID
+    (P, V) track slots referencing any single camera id.  Masked slots are
+    excluded — the matvec routes them to a sentinel bin (their
+    contributions are exactly zero)."""
     import numpy as np
     camf = np.asarray(problem.track_cam).reshape(-1)
-    return int(np.bincount(camf, minlength=problem.n_cameras).max())
+    valid = np.asarray(problem.track_mask).reshape(-1)
+    cnt = np.bincount(camf[valid], minlength=problem.n_cameras)
+    return max(int(cnt.max()) if cnt.size else 1, 1)
 
 
 def resolve_gather_k(problem: BAProblem, cfg: LMConfig) -> LMConfig:

@@ -57,15 +57,31 @@ class Database:
     """Feature + word database with per-image resume."""
 
     def __init__(self, fold: str, options: DatabaseOptions,
-                 output_fold: Optional[str] = None):
+                 output_fold: Optional[str] = None,
+                 owner: Optional[Tuple[int, int]] = None):
+        """owner=(process_id, process_count) makes this database instance
+        responsible for a contiguous image shard: feature extraction (and
+        its resume bookkeeping) only touches owned images — the host-level
+        sharding of the per-image store for multi-host runs (SURVEY §5;
+        the reference's per-image files sharded per host).  Reads are
+        unrestricted (a shared filesystem or a post-run sync is assumed,
+        like the reference's output folder)."""
         self.fold = fold
         self.opts = options
         self.out = output_fold or os.path.join(fold, "mtpu_db")
         os.makedirs(self.out, exist_ok=True)
         self.image_paths = search_image_paths(fold)
         self.n_images = len(self.image_paths)
+        self.owner = owner
         self.image_info: List[dict] = [None] * self.n_images
         self._features: Dict[int, ImageFeatures] = {}
+
+    def owned_images(self) -> range:
+        if self.owner is None:
+            return range(self.n_images)
+        from ..parallel.mesh import owned_range
+        lo, hi = owned_range(self.n_images, *self.owner)
+        return range(lo, hi)
 
     # -- feature stage -----------------------------------------------------
     @staticmethod
@@ -90,7 +106,7 @@ class Database:
         import jax
         import jax.numpy as jnp
         cfg = sift.SiftConfig(max_keypoints=self.opts.max_keypoints)
-        missing = [i for i in range(self.n_images)
+        missing = [i for i in self.owned_images()
                    if not fstore.has_features(self.out, i)]
         if not missing:
             return

@@ -184,16 +184,28 @@ class MatchGraphBuilder:
                            kp_j=idx2[kp_i].astype(np.int64))
 
     def build(self, features, pairs: List[Tuple[int, int]],
-              verbose: bool = False) -> Dict[Tuple[int, int], PairMatches]:
+              verbose: bool = False, owner=None
+              ) -> Dict[Tuple[int, int], PairMatches]:
         """Match every candidate pair (resume-aware when out_fold set).
 
         `features` maps image id -> ImageFeatures with descriptors.  Pairs
         are processed in (B, N, D) batches through ONE jitted dispatch per
         batch — the whole 2-NN + ratio + F-RANSAC + epipolar-refilter chain
         stays on device; only the compressed (kp_i, kp_j) lists come back.
+
+        owner=(process_id, process_count): multi-host sharding — this
+        process matches only the pairs whose FIRST image falls in its
+        contiguous image shard (the reference keys {i}_match files by i;
+        per-shard resume works unchanged).
         """
         import jax
         import jax.numpy as jnp
+
+        if owner is not None:
+            from ..parallel.mesh import owned_range
+            n_imgs = 1 + max((max(i, j) for i, j in pairs), default=0)
+            lo, hi = owned_range(n_imgs, *owner)
+            pairs = [(i, j) for (i, j) in pairs if lo <= i < hi]
 
         out: Dict[Tuple[int, int], PairMatches] = {}
         todo: List[Tuple[int, int]] = []

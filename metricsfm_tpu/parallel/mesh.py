@@ -16,6 +16,57 @@ def make_mesh(n_data: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis_name,))
 
 
+# -- multi-host runtime (SURVEY §5 distributed communication backend;
+#    no reference counterpart — the reference is single-process) ----------
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Bring up the jax.distributed runtime for a multi-host slice.
+
+    Safe to call in every entry path: a single-process run (no coordinator
+    configured via args or JAX_COORDINATOR_ADDRESS / standard cluster env)
+    is a no-op.  Returns the process index (0 when single-process).
+    Collectives then run over ICI within a slice and DCN across slices —
+    the jit-compiled psum/all_gather in parallel/* are unchanged; only the
+    mesh grows to jax.devices() spanning all processes.
+    """
+    import os
+    if jax.process_count() > 1:
+        return jax.process_index()          # already initialized
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None \
+            and "JAX_NUM_PROCESSES" not in os.environ:
+        return 0                            # single-process run
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes,
+        process_id=process_id)
+    return jax.process_index()
+
+
+def make_global_mesh(axis_name: str = "data") -> Mesh:
+    """1-D mesh over ALL devices of ALL processes (multi-host when
+    initialize_distributed brought up >1 process; identical to make_mesh
+    on one host)."""
+    return Mesh(np.array(jax.devices()), (axis_name,))
+
+
+def owned_range(n_items: int, process_id: Optional[int] = None,
+                process_count: Optional[int] = None):
+    """Contiguous [lo, hi) shard of an item axis owned by this process.
+
+    The host-sharded store policy: each process extracts / matches / pages
+    only its image range (the reference's per-image files map naturally to
+    per-host shards — SURVEY §5); resume stays per shard.
+    """
+    p = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
+    per = -(-n_items // n)
+    lo = min(p * per, n_items)
+    return lo, min(lo + per, n_items)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0,
                     value=0):
     n = x.shape[axis]

@@ -137,3 +137,28 @@ def test_hierarchical_ba_1k_cameras(rng):
         err.append(np.linalg.norm(c_est - c_gt))
     extent = 16.0   # arc diameter at depth 8
     assert np.median(err) / extent < 0.02, np.median(err)
+
+def test_required_gather_k_ignores_masked_slots(rng):
+    """Padded tracks/slots all point at camera 0; counting them once blew
+    the auto-K (and the (C, K, 6) matvec gather) to the padded-slot count
+    — 6.7 GB at 200 cams.  K must cover only REAL observations."""
+    from metricsfm_tpu.ba import problem as ba_problem
+    from metricsfm_tpu.ba.lm import required_gather_k
+    C, P, V = 8, 64, 6
+    track_cam = np.zeros((P, V), np.int32)
+    track_mask = np.zeros((P, V), bool)
+    # 10 live tracks, 2 views each, spread over cameras 1..4
+    for p in range(10):
+        track_cam[p, 0] = 1 + p % 4
+        track_cam[p, 1] = 1 + (p + 1) % 4
+        track_mask[p, :2] = True
+    prob = ba_problem.build_problem(
+        np.zeros((C, 6)), np.tile([[100.0, 0, 0]], (C, 1)), np.arange(C),
+        rng.normal(size=(P, 3)), track_cam,
+        np.zeros((P, V, 2)), track_mask)
+    k = required_gather_k(prob)
+    assert k == 6, k     # camera ids 1..4 each carry 5-6 real slots
+    # and the CG solve runs with that K (no masked-slot overflow)
+    out, info = solve_lm(prob, LMConfig(max_iterations=2, cg_iterations=5,
+                                        cg_gather_k=k))
+    assert np.isfinite(float(info["final_cost"]))
