@@ -66,3 +66,74 @@ def test_sharded_matching(rng):
         g = good[b]
         assert g.sum() > N * 0.7
         assert (idx2[b][g] == np.arange(N)[g]).mean() > 0.99
+
+
+# -- multi-host scaffolding (single-process degenerate coverage) -------------
+
+def test_owned_range_partitions():
+    from metricsfm_tpu.parallel.mesh import owned_range
+    n = 103
+    covered = []
+    for p in range(4):
+        lo, hi = owned_range(n, p, 4)
+        covered.extend(range(lo, hi))
+    assert covered == list(range(n))
+    # single process owns everything
+    assert owned_range(n, 0, 1) == (0, n)
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    import jax
+    from metricsfm_tpu.parallel.mesh import (initialize_distributed,
+                                             make_global_mesh)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert initialize_distributed() == 0
+    mesh = make_global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_database_owner_shards_extraction(tmp_path, rng):
+    """owner=(pid, 2): each Database instance extracts only its image
+    shard; together they cover the folder (per-shard resume semantics)."""
+    from PIL import Image
+    from metricsfm_tpu.config import DatabaseOptions
+    from metricsfm_tpu.io import store as fstore
+    from metricsfm_tpu.models.database import Database
+    from metricsfm_tpu.utils import synth
+    fold = str(tmp_path)
+    tex = synth.multiscale_texture(rng, 128)
+    for i in range(6):
+        arr = np.roll((tex * 255).astype(np.uint8), i * 7, axis=1)
+        Image.fromarray(arr).save(f"{fold}/im_{i}.png")
+    opts = DatabaseOptions(resize=False, max_keypoints=256)
+    db0 = Database(fold, opts, owner=(0, 2))
+    db0.feature_extraction()
+    have = [i for i in range(6) if fstore.has_features(db0.out, i)]
+    assert have == [0, 1, 2]
+    db1 = Database(fold, opts, owner=(1, 2))
+    db1.feature_extraction()
+    have = [i for i in range(6) if fstore.has_features(db1.out, i)]
+    assert have == list(range(6))
+
+
+def test_match_builder_owner_filters_pairs(rng):
+    from metricsfm_tpu.config import GraphOptions
+    from metricsfm_tpu.models.match_graph import MatchGraphBuilder
+    from metricsfm_tpu.models.incremental import ImageFeatures
+    # 4 images of shared random unit descriptors => everything matches
+    base = rng.normal(size=(64, 32)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    feats = {}
+    for i in range(4):
+        d = base + rng.normal(0, 0.02, base.shape).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        feats[i] = ImageFeatures(
+            xy=rng.uniform(-50, 50, (64, 2)).astype(np.float32) if i == 0
+            else feats[0].xy + rng.normal(0, 1.0, (64, 2)).astype(np.float32),
+            desc=d, mask=np.ones(64, bool))
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    b = MatchGraphBuilder(GraphOptions(geoverify_min_inliers=8,
+                                       ratio_all=0.95, ratio_good=0.9))
+    out = b.build(feats, pairs, owner=(1, 2))   # owns images 2..3
+    assert all(i >= 2 for (i, j) in out), list(out)
