@@ -274,3 +274,34 @@ def write_undistorted_images(fold: str, scene, image_paths: Dict[int, str],
         if verbose:
             print(f"undistorted {path} -> {dst}")
     return written
+
+
+def write_track_overlay_image(path: str, centers_est: np.ndarray,
+                              centers_gps: np.ndarray, size: int = 800,
+                              dot: int = 3):
+    """GPS-vs-estimate track overlay image (ref GrawGPS/GrawSLAM debug
+    renders, slam_gps.cc:1107-1213): both trajectories projected to the
+    xy plane in one frame, GPS green, estimate red."""
+    from PIL import Image, ImageDraw
+    allp = np.concatenate([centers_est[:, :2], centers_gps[:, :2]])
+    lo = allp.min(axis=0)
+    span = max(float((allp.max(axis=0) - lo).max()), 1e-9)
+    scale = (size - 40) / span
+
+    im = Image.new("RGB", (size, size), (255, 255, 255))
+    d = ImageDraw.Draw(im)
+
+    def to_px(p):
+        q = (p[:2] - lo) * scale + 20
+        return float(q[0]), float(size - q[1])
+
+    for pts, color in ((centers_gps, (0, 160, 0)),
+                       (centers_est, (220, 0, 0))):
+        prev = None
+        for p in pts:
+            x, y = to_px(p)
+            d.ellipse([x - dot, y - dot, x + dot, y + dot], fill=color)
+            if prev is not None:
+                d.line([prev, (x, y)], fill=color, width=1)
+            prev = (x, y)
+    im.save(path)

@@ -577,15 +577,29 @@ class IncrementalSfM:
             return None
         return Scene.load(path)
 
+    def _debug_dump(self, dump_dir: Optional[str], scene: Scene, step: int):
+        """Per-added-image point-cloud dump (ref pts{N}.txt after every
+        registration, sfm_incremental.cc:204-205,1425-1463 — the
+        reference's main debugging affordance)."""
+        if dump_dir is None:
+            return
+        import os
+        from ..io.exports import write_point_cloud
+        os.makedirs(dump_dir, exist_ok=True)
+        write_point_cloud(os.path.join(dump_dir, f"pts{step}.txt"), scene)
+
     # -- main loop ---------------------------------------------------------
     def run(self, max_models: int = 8, verbose: bool = False,
-            checkpoint_dir: Optional[str] = None, resume: bool = False):
+            checkpoint_dir: Optional[str] = None, resume: bool = False,
+            debug_dump_dir: Optional[str] = None):
         """Reconstruct one or more models (ref Run, :81-220).
 
         With checkpoint_dir set, the model state is serialized every
         cfg.sfm.checkpoint_every registered images (temp_result{N}.npz);
         resume=True re-enters from the newest checkpoint of each model
-        instead of re-seeding (ref use_temp switch).
+        instead of re-seeding (ref use_temp switch).  debug_dump_dir
+        writes a colored cloud + frustum glyphs after every registration
+        (ref pts{N}.txt dumps).
         """
         remaining = set(self.features.keys())
         ranked = self._match_strength()
@@ -641,6 +655,7 @@ class IncrementalSfM:
                                         tracks=None if full_step else moved)
                 if step % self.cfg.sfm.checkpoint_every == 0:
                     self._write_checkpoint(checkpoint_dir, model_idx, scene)
+                self._debug_dump(debug_dump_dir, scene, step)
                 if verbose:
                     print(f"+img {img}: {n_new} new pts, "
                           f"{scene.n_points()} total, {len(remaining)} left")

@@ -703,3 +703,10 @@ class SLAMGPS:
                 g = self.convert_to_gps(self._cams_gps_centered[k])
                 f.write(f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f} "
                         f"{g[0]:.4f} {g[1]:.4f} {g[2]:.4f}\n")
+        # GrawGPS/GrawSLAM-style overlay render (ref slam_gps.cc:1107-1213)
+        from ..ops import np_geom as _npg
+        est = np.stack([_npg.camera_center(scene.poses[i])
+                        for i in scene.registered])
+        exports.write_track_overlay_image(
+            os.path.join(out, "gps_overlay.png"), est,
+            np.asarray(self._cams_gps_centered))

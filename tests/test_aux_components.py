@@ -195,3 +195,63 @@ def test_write_undistorted_images(tmp_path, rng):
     back = np.asarray(Image.open(written[0]), dtype=np.float32)
     # zero distortion -> near-identity resample
     assert np.abs(back[2:-2, 2:-2] - img[2:-2, 2:-2].astype(np.float32)).max() <= 1.5
+
+
+def test_detect_segments_endpoints():
+    """A finite bright segment (not a full-frame line): detect_segments
+    must bound its extent, not return the infinite Hough line
+    (ref utils/lsd.cc LineSegmentDetection rectangle bounds)."""
+    img = np.zeros((96, 96), np.float32)
+    img[20:60, 40] = 1.0          # vertical segment x=40, y in [20, 60)
+    out = lines.detect_segments(jnp.asarray(img), max_segments=4)
+    ok = np.asarray(out["ok"])
+    assert ok[0], "top Hough peak must pass the density gate"
+    p0 = np.asarray(out["p0"][0])
+    p1 = np.asarray(out["p1"][0])
+    ys = sorted([p0[1], p1[1]])
+    assert abs(p0[0] - 40) < 3 and abs(p1[0] - 40) < 3
+    assert abs(ys[0] - 20) < 5 and abs(ys[1] - 60) < 5
+
+
+def test_local_orientation_step_edge():
+    """At a vertical step edge the dominant local gradient is +-x; in a
+    flat region it is zero (ref local_orientation.cc CalOrientation)."""
+    img = np.zeros((80, 80), np.float32)
+    img[:, 40:] = 1.0
+    pts = np.array([[40.0, 40.0],     # on the edge
+                    [15.0, 15.0]])    # flat region (window stays left)
+    d = np.asarray(lines.local_orientation(jnp.asarray(img),
+                                           jnp.asarray(pts), win_half=8))
+    assert abs(d[0, 0]) > 0.95 and abs(d[0, 1]) < 0.3
+    assert np.allclose(d[1], 0.0, atol=1e-6)
+
+
+def test_debug_cloud_dumps(tmp_path, rng):
+    """Per-added-image pts{N}.txt dumps behind the debug flag
+    (ref sfm_incremental.cc:204-205,1425-1463)."""
+    import os
+    from metricsfm_tpu.io.exports import write_point_cloud
+    from metricsfm_tpu.models.scene import CameraModel, Scene
+    scene = Scene(n_images=2)
+    m = scene.add_camera_model(CameraModel(f=100.0))
+    scene.register_image(0, np.zeros(6), m, n_kps=4)
+    scene.add_track([0.0, 0.0, 5.0], {0: 0})
+    p = str(tmp_path / "pts0.txt")
+    write_point_cloud(p, scene)
+    rows = open(p).read().strip().splitlines()
+    assert len(rows) == 1 + 5            # 1 point + 5-point frustum glyph
+    assert rows[0].split()[3:] == ["255", "255", "255"]
+
+
+def test_track_overlay_image(tmp_path, rng):
+    from PIL import Image
+    from metricsfm_tpu.io.exports import write_track_overlay_image
+    est = rng.normal(size=(12, 3)).cumsum(axis=0)
+    gps = est + rng.normal(0, 0.05, est.shape)
+    p = str(tmp_path / "overlay.png")
+    write_track_overlay_image(p, est, gps, size=200)
+    im = np.asarray(Image.open(p).convert("RGB"))
+    assert im.shape == (200, 200, 3)
+    # both colors present
+    assert (im == np.array([0, 160, 0])).all(axis=-1).any()
+    assert (im == np.array([220, 0, 0])).all(axis=-1).any()
