@@ -4,17 +4,39 @@ Multi-chip hardware is unavailable in CI; shardings are validated the JAX way
 via XLA_FLAGS=--xla_force_host_platform_device_count (SURVEY.md §4).
 """
 import os
+import tempfile
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the (single real)
 # TPU chip via the axon tunnel, and its sitecustomize imports jax before
 # pytest starts — so env vars alone are too late; use jax.config.update.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic persistent-compile-cache dir: CLI entry points enable the cache
+# in-process, and sharing the user-level directory with concurrently
+# running TPU processes produced torn entries that segfault JAX's cache
+# read (see utils/cache.py).
+os.environ["METRICSFM_TPU_XLA_CACHE"] = tempfile.mkdtemp(
+    prefix="mtpu_test_xla_cache_")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite accumulates hundreds of live CPU executables across the
+    8 virtual devices; past ~145 tests XLA:CPU deterministically segfaults
+    inside a later compile (jax 0.9 era; crash reproduced in
+    backend_compile_and_load with and without the persistent cache).
+    Clearing per module keeps the live-executable count bounded and costs
+    only intra-module recompiles.
+    """
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
