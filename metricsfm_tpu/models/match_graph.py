@@ -294,13 +294,18 @@ class MatchGraphBuilder:
         return out
 
 
-def build_match_graph(database, config, verbose: bool = False, mesh=None):
+def build_match_graph(database, config, verbose: bool = False, mesh=None,
+                      priori_utm=None):
     """End-to-end graph build (ref Graph::BuildGraph, graph.cc:52-70).
 
     Chooses the candidate strategy from config.graph.matching_type, runs
     batched fine matching, returns {(i, j): PairMatches}.  When more than
     one device is visible, pair batches shard over a `data` mesh axis
     (the reference's OpenMP axis, SURVEY §2.11).
+
+    priori_utm: optional (n, 2) easting/northing for 'priori' candidate
+    selection when positions come from a pose-prior file rather than image
+    EXIF (the reference accepts both, initial_matching_graph.cc:83-162).
     """
     import jax
     import jax.numpy as jnp
@@ -312,12 +317,16 @@ def build_match_graph(database, config, verbose: bool = False, mesh=None):
     if opts.matching_type == "all" or n <= 12:
         pairs = candidates_all(n)
     elif opts.matching_type == "priori":
-        coords = []
-        for i in range(n):
-            lat, lon, alt = database.gps(i)
-            e, no, _ = utm_util.ll_to_utm(lat, lon)
-            coords.append([e, no])
-        pairs = candidates_gps(np.array(coords), opts.knn)
+        if priori_utm is not None:
+            coords = np.asarray(priori_utm, np.float64)
+        else:
+            coords = []
+            for i in range(n):
+                lat, lon, alt = database.gps(i)
+                e, no, _ = utm_util.ll_to_utm(lat, lon)
+                coords.append([e, no])
+            coords = np.array(coords)
+        pairs = candidates_gps(coords, opts.knn)
     else:
         voc, counts = database.build_words(verbose=verbose)
         if counts is not None:

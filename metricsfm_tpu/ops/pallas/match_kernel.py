@@ -56,20 +56,41 @@ def _kernel(q_ref, db_ref, mask_ref, out_ref):
     cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
     pk = (sim * _VAL_SCALE).astype(jnp.int32) * (1 << _COL_BITS) + cols
     m1 = jnp.max(pk, axis=1)
-    arg = m1 & _COL_MASK
-    pk2 = jnp.where(cols == arg[:, None], jnp.int32(-(2 ** 31)), pk)
+    # packed values are unique (distinct col ids in the low bits), so value
+    # equality identifies exactly the argmax slot — one op cheaper than
+    # unpacking the index and comparing against the iota
+    pk2 = jnp.where(pk == m1[:, None], jnp.int32(-(2 ** 31)), pk)
     m2 = jnp.max(pk2, axis=1)
     out_ref[0, :] = m1
     out_ref[1, :] = m2
 
 
-def _knn2_pallas_impl(desc1, desc2, mask2=None, bq: int = 512,
+def _knn2_pallas_impl(desc1, desc2, mask2=None, tile: int = 512,
                       interpret: bool = False):
     """Unjitted body — callers already under jit/vmap use this directly
-    (nesting jit inside vmap inside jit measured a Mosaic compile crash)."""
+    (nesting jit inside vmap inside jit measured a Mosaic compile crash).
+
+    `tile` is the QUERY block size per grid step (the whole database stays
+    resident).  Round-3 layout study at 4096x4096x128, 96 pairs in flight,
+    real-TPU numbers:
+      * this layout (query-tiled, db resident):   ~10.2k pairs/s
+      * db-tiled + running top-2 in VMEM scratch:  6.2k (tile=1024) —
+        Mosaic does NOT overlap tile j's VPU epilogue with tile j+1's
+        matmul; each extra grid step just adds fixed overhead
+      * matmul-only (epilogue stripped):          12.7k  => the top-2
+        epilogue costs ~20%, the rest is the matmul itself
+      * roofline: the chip sustains 86 TFLOP/s on an 8192^3 bf16 square
+        matmul; at 4.3 GFLOP/pair that is 19.9k pairs/s at 100% MFU with
+        a zero-cost epilogue — shipped throughput is ~51% of that bound
+      * int8 is NOT a speedup on this platform: XLA emulates s8xs8->s32
+        at 0.05 TOP/s and Mosaic lowers it at bf16 rate (int8_full 9.3k
+        vs bf16_full 9.9k); fp8 dots fail to compile.  The int8 kernel
+        below is kept for TPU generations whose Mosaic lowers s8 dots to
+        the double-rate MXU path.
+    """
     N1, D = desc1.shape
     N2 = desc2.shape[0]
-    pad1 = (-N1) % bq
+    pad1 = (-N1) % tile
     pad2 = (-N2) % 128
     n2p = N2 + pad2
     if n2p > _MAX_DB:
@@ -80,23 +101,24 @@ def _knn2_pallas_impl(desc1, desc2, mask2=None, bq: int = 512,
     m = jnp.pad(m, (0, pad2))[None, :]                      # (1, N2p)
 
     n1p = N1 + pad1
-    nq = n1p // bq
+    nq = n1p // tile
 
     out = pl.pallas_call(
         _kernel,
         grid=(nq,),
         in_specs=[
-            pl.BlockSpec((bq, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, n2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        # (2, bq) int32 row blocks: packed (best, second)
-        out_specs=pl.BlockSpec((2, bq), lambda i: (0, i),
+        # (2, tile) int32 row blocks: packed (best, second)
+        out_specs=pl.BlockSpec((2, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, n1p), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
-            dimension_semantics=("arbitrary",)),
+            # query blocks are independent: no cross-step carries
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q, db, m)
 
@@ -207,26 +229,28 @@ def knn2_pallas_int8(desc1, desc2, mask2=None, bq: int = 1024,
                                   interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "interpret"))
-def knn2_pallas(desc1, desc2, mask2=None, bq: int = 512,
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def knn2_pallas(desc1, desc2, mask2=None, tile: int = 512,
                 interpret: bool = False):
     """Exact 2-NN via the fused kernel.
 
     Args:
-      desc1: (N1, D) L2-normalized queries (padded to bq internally).
-      desc2: (N2, D) database (N2 <= 8192 after padding to a lane multiple).
+      desc1: (N1, D) L2-normalized queries (padded to `tile` internally).
+      desc2: (N2, D) database (N2 <= 8192 after padding to a lane multiple),
+             fully resident across grid steps.
       mask2: (N2,) validity.
     Returns (d1_sq, d2_sq, idx) like ops.matching.knn2.  Batch by vmapping
     (lifts the grid); similarity values are quantized to 2^-17.
     """
-    return _knn2_pallas_impl(desc1, desc2, mask2, bq=bq, interpret=interpret)
+    return _knn2_pallas_impl(desc1, desc2, mask2, tile=tile,
+                             interpret=interpret)
 
 
 def match_pair_pallas(desc1, desc2, mask1=None, mask2=None,
                       ratio_good: float = 0.6, ratio_all: float = 0.85,
-                      bq: int = 512, interpret: bool = False):
+                      tile: int = 512, interpret: bool = False):
     """Drop-in fused variant of ops.matching.match_pair."""
-    d1_sq, d2_sq, idx2 = _knn2_pallas_impl(desc1, desc2, mask2, bq=bq,
+    d1_sq, d2_sq, idx2 = _knn2_pallas_impl(desc1, desc2, mask2, tile=tile,
                                            interpret=interpret)
     m1 = jnp.ones(desc1.shape[:1], bool) if mask1 is None else mask1.astype(bool)
     safe2 = jnp.maximum(d2_sq, 1e-12)

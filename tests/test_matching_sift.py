@@ -114,7 +114,7 @@ def test_knn2_pallas_matches_xla(rng):
     mask2[450:] = False
 
     p1, p2, pidx = knn2_pallas(jnp.asarray(d1), jnp.asarray(d2),
-                               jnp.asarray(mask2), bq=128,
+                               jnp.asarray(mask2), tile=128,
                                interpret=True)
     x1, x2, xidx = matching.knn2(jnp.asarray(d1), jnp.asarray(d2),
                                  jnp.asarray(mask2))
@@ -137,7 +137,7 @@ def test_knn2_pallas_batched_vmap(rng):
     d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
     d2 = rng.normal(size=(B, N, 128)).astype(np.float32)
     d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
-    fn = jax.vmap(lambda a, b: _knn2_pallas_impl(a, b, bq=128,
+    fn = jax.vmap(lambda a, b: _knn2_pallas_impl(a, b, tile=128,
                                                  interpret=True))
     p1, p2, pidx = fn(jnp.asarray(d1), jnp.asarray(d2))
     for b in range(B):
