@@ -496,60 +496,94 @@ class IncrementalSfM:
         at scale (round-1 VERDICT weak #7).
         """
         if tracks is not None:
-            rows = sorted({int(t) for t in tracks})
+            cand = np.unique(np.asarray(sorted(tracks), np.int64))
         else:
-            rows = [i for i, tr in enumerate(scene.tracks) if not tr.is_bad]
-        if not rows:
+            cand = np.arange(len(scene.tracks), dtype=np.int64)
+        if cand.size == 0:
             return 0
-        # flat observation lists (host sweep, numpy-vectorized projection)
-        obs_row, obs_img, obs_kp = [], [], []
-        for r in rows:
-            tr = scene.tracks[r]
-            if tr.is_bad:
-                continue
-            for im, kp in tr.obs.items():
-                if im in scene.poses:
-                    obs_row.append(r)
-                    obs_img.append(im)
-                    obs_kp.append(kp)
-        if not obs_row:
+        bad = np.fromiter((scene.tracks[int(r)].is_bad for r in cand),
+                          bool, cand.size)
+        rows = cand[~bad]
+        if rows.size == 0:
             return 0
-        obs_row = np.asarray(obs_row)
-        imgs = sorted({int(i) for i in obs_img})
-        img_slot = {im: k for k, im in enumerate(imgs)}
-        Rs = np.stack([np_geom.pose_to_Rt(scene.poses[im])[0] for im in imgs])
-        ts = np.stack([np_geom.pose_to_Rt(scene.poses[im])[1] for im in imgs])
+        # observation harvest straight off the scene's flat log (numpy
+        # only; the per-track dict walk this replaced was a measured
+        # hotspot of the 200-image aerial run)
+        t_all, i_all, k_all = scene._obs_arrays()
+        ridx_of = np.full(len(scene.tracks), -1, np.int64)
+        ridx_of[rows] = np.arange(rows.size)
+        reg_imgs = scene.registered
+        islot_of = np.full(scene.n_images, -1, np.int64)
+        islot_of[np.asarray(reg_imgs, np.int64)] = np.arange(len(reg_imgs))
+        ridx = ridx_of[t_all]
+        slot = islot_of[i_all]
+        m = (ridx >= 0) & (slot >= 0)
+        pos = np.nonzero(m)[0]
+        ridx, slot, kp = ridx[m], slot[m], k_all[m]
+        if ridx.size == 0:
+            return 0
+        # keep-LAST per (track, img): Track.obs dict-overwrite semantics
+        key = ridx * len(reg_imgs) + slot
+        srt = np.lexsort((pos, key))
+        key_s = key[srt]
+        last = np.ones(srt.size, bool)
+        if srt.size > 1:
+            last[:-1] = key_s[1:] != key_s[:-1]
+        sel = srt[last]
+        ridx, slot, kp = ridx[sel], slot[sel], kp[sel]
+
+        Rs = np.stack([np_geom.pose_to_Rt(scene.poses[im])[0]
+                       for im in reg_imgs])
+        ts = np.stack([np_geom.pose_to_Rt(scene.poses[im])[1]
+                       for im in reg_imgs])
         fs = np.array([scene.models[scene.model_of_image[im]].f
-                       for im in imgs])
+                       for im in reg_imgs])
         k1 = np.array([scene.models[scene.model_of_image[im]].k1
-                       for im in imgs])
+                       for im in reg_imgs])
         k2 = np.array([scene.models[scene.model_of_image[im]].k2
-                       for im in imgs])
-        slot = np.array([img_slot[im] for im in obs_img])
-        X = np.stack([scene.tracks[r].xyz for r in obs_row])
+                       for im in reg_imgs])
+        X = np.array([scene.tracks[int(r)].xyz for r in rows])[ridx]
         Xc = np.einsum("nij,nj->ni", Rs[slot], X) + ts[slot]
         z = np.where(np.abs(Xc[:, 2]) < 1e-12, 1e-12, Xc[:, 2])
         xn = Xc[:, :2] / z[:, None]
         r2 = (xn ** 2).sum(1)
         xd = xn * (1.0 + r2 * (k1[slot] + r2 * k2[slot]))[:, None]
         uv = fs[slot, None] * xd
-        kp_obs = np.stack([self.features[im].xy[kp]
-                           for im, kp in zip(obs_img, obs_kp)])
+        base, uv_all = self._kp_store()
+        kp_obs = uv_all[base[np.asarray(reg_imgs, np.int64)[slot]] + kp]
         err2 = ((uv - kp_obs) ** 2).sum(1)
         err2 = np.where(Xc[:, 2] > 0, err2, 1e12)
-        row_of = {r: i for i, r in enumerate(rows)}
-        sums = np.zeros(len(rows))
-        cnts = np.zeros(len(rows))
-        ridx = np.array([row_of[r] for r in obs_row])
+        sums = np.zeros(rows.size)
+        cnts = np.zeros(rows.size)
         np.add.at(sums, ridx, err2)
         np.add.at(cnts, ridx, 1.0)
         mse = sums / np.maximum(cnts, 1)
         removed = 0
-        for i, r in enumerate(rows):
-            if np.sqrt(mse[i]) > th_px and not scene.tracks[r].is_bad:
-                scene.mark_bad(r)
-                removed += 1
+        for i in np.nonzero(np.sqrt(mse) > th_px)[0]:
+            scene.mark_bad(int(rows[i]))
+            removed += 1
         return removed
+
+    def _kp_store(self):
+        """Concatenated keypoint coords over all images with per-image base
+        offsets (built once; features are immutable inputs)."""
+        if getattr(self, "_kp_store_cache", None) is None:
+            ids = sorted(self.features.keys())
+            n = max(ids) + 1 if ids else 0
+            base = np.zeros(n + 1, np.int64)
+            parts = []
+            off = 0
+            for im in range(n):
+                base[im] = off
+                if im in self.features:
+                    xy = np.asarray(self.features[im].xy, np.float64)
+                    parts.append(xy)
+                    off += len(xy)
+            base[n] = off
+            uv_all = (np.concatenate(parts) if parts
+                      else np.zeros((0, 2)))
+            self._kp_store_cache = (base, uv_all)
+        return self._kp_store_cache
 
     # -- checkpoint / resume (ref use_temp re-entry, sfm_incremental.cc:83-110,
     #    WriteTempResultOut every 10 images :207-211) ----------------------

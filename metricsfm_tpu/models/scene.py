@@ -76,6 +76,37 @@ class Scene:
         # (the reference re-harvests every remaining image every step,
         # sfm_incremental.cc:417-563 — quadratic over a run)
         self.k2t_version: Dict[int, int] = {}
+        # flat observation log (track, img, kp), appended by add_track /
+        # add_observation; to_ba_problem materializes from it with numpy
+        # only (keep-LAST per (track, img) = the dict-overwrite semantics).
+        # The per-track Python loop this replaces measured ~0.7 of the
+        # 200-image aerial run's full_ba+partial_ba wall time (round 3).
+        self._obs_t: List[int] = []
+        self._obs_i: List[int] = []
+        self._obs_k: List[int] = []
+        self._obs_np = None          # cached np conversion (prefix-stable)
+
+    def reset_tracks(self):
+        """Drop all tracks (SLAM retriangulation rebuilds from scratch)."""
+        self.tracks = []
+        self._obs_t, self._obs_i, self._obs_k = [], [], []
+        self._obs_np = None
+
+    def _obs_arrays(self):
+        """Numpy views of the observation log (cached; only the appended
+        tail is converted on each call)."""
+        n = len(self._obs_t)
+        if self._obs_np is None:
+            self._obs_np = (np.asarray(self._obs_t, np.int64),
+                            np.asarray(self._obs_i, np.int64),
+                            np.asarray(self._obs_k, np.int64))
+        elif self._obs_np[0].shape[0] < n:
+            m = self._obs_np[0].shape[0]
+            self._obs_np = tuple(
+                np.concatenate([old, np.asarray(lst[m:], np.int64)])
+                for old, lst in zip(self._obs_np,
+                                    (self._obs_t, self._obs_i, self._obs_k)))
+        return self._obs_np
 
     # -- registration ------------------------------------------------------
     def add_camera_model(self, model: CameraModel) -> int:
@@ -108,12 +139,18 @@ class Scene:
         for img, kp in obs.items():
             self.kp_to_track[img][kp] = idx
             self._bump(img)
+            self._obs_t.append(idx)
+            self._obs_i.append(img)
+            self._obs_k.append(int(kp))
         return idx
 
     def add_observation(self, track_idx: int, img: int, kp: int):
         self.tracks[track_idx].obs[img] = kp
         self.kp_to_track[img][kp] = track_idx
         self._bump(img)
+        self._obs_t.append(track_idx)
+        self._obs_i.append(img)
+        self._obs_k.append(int(kp))
 
     def mark_bad(self, track_idx: int):
         t = self.tracks[track_idx]
@@ -202,30 +239,66 @@ class Scene:
         point_mut = np.zeros((P,))
 
         mutable_img_set = set(imgs) if mutable_images is None else set(mutable_images)
-        for row, ti in enumerate(live):
-            t = self.tracks[ti]
-            points[row] = t.xyz
-            reg = [(im, kp) for im, kp in t.obs.items() if im in img_to_row]
-            if len(reg) > V:
-                # spread kept views over the whole track, rotating the
-                # pattern per row — first-V truncation left late-registered
-                # cameras unobserved, and a fixed subsample starves the
-                # same cameras in every track
-                n = len(reg)
-                sel = sorted({(k * n // V + row) % n for k in range(V)})
-                reg = [reg[k] for k in sel]
-            for n_obs, (im, kp) in enumerate(reg):
-                track_cam[row, n_obs] = img_to_row[im]
-                track_uv[row, n_obs] = kp_xy[im][kp]
-                track_mask[row, n_obs] = True
-            if len(reg) >= 3:
-                track_weight[row] = weight_multiview
-            point_mut[row] = 1.0
-        if mutable_points is not None:
-            mset = set(mutable_points)
-            for row, ti in enumerate(live):
-                if ti not in mset:
-                    point_mut[row] = 0.0
+        nl = len(live)
+        if nl:
+            live_arr = np.asarray(live, np.int64)
+            points[:nl] = np.array([self.tracks[i].xyz for i in live])
+            point_mut[:nl] = 1.0
+
+            # observation harvest: pure numpy over the flat log
+            t_all, i_all, k_all = self._obs_arrays()
+            trow_of = np.full(len(self.tracks), -1, np.int64)
+            trow_of[live_arr] = np.arange(nl)
+            irow_of = np.full(self.n_images, -1, np.int64)
+            irow_of[np.asarray(imgs, np.int64)] = np.arange(len(imgs))
+            tr = trow_of[t_all]
+            ir = irow_of[i_all]
+            m = (tr >= 0) & (ir >= 0)
+            pos = np.nonzero(m)[0]
+            tr, ir, kp = tr[m], ir[m], k_all[m]
+            # keep-LAST per (track, img): the Track.obs dict-overwrite
+            # semantics (a re-matched keypoint replaces the old one)
+            key = tr * len(imgs) + ir
+            srt = np.lexsort((pos, key))
+            key_s = key[srt]
+            last = np.ones(len(srt), bool)
+            if len(srt) > 1:
+                last[:-1] = key_s[1:] != key_s[:-1]
+            sel = srt[last]                     # track-major, img-minor
+            tr2, ir2, kp2 = tr[sel], ir[sel], kp[sel]
+            uniq, start, cnt = np.unique(tr2, return_index=True,
+                                         return_counts=True)
+            # V cap: spread kept views over the whole track with a per-row
+            # rotation — slot kept iff slot in {(k*n//V + row) % n}, i.e.
+            # u = (slot-row) % n has an integer k in [u*V/n, (u+1)*V/n)
+            slot = np.arange(len(tr2)) - np.repeat(start, cnt)
+            n_per = np.repeat(cnt, cnt)
+            u = (slot - tr2) % n_per
+            c1 = -(-(u * V) // n_per)
+            c2 = -(-((u + 1) * V) // n_per)
+            keep = (n_per <= V) | ((c1 < c2) & (c1 < V))
+            tr3, ir3, kp3 = tr2[keep], ir2[keep], kp2[keep]
+            uniq3, start3, cnt3 = np.unique(tr3, return_index=True,
+                                            return_counts=True)
+            vslot = np.arange(len(tr3)) - np.repeat(start3, cnt3)
+            lens = np.fromiter((len(kp_xy[im]) for im in imgs), np.int64,
+                               len(imgs))
+            base = np.zeros(len(imgs) + 1, np.int64)
+            np.cumsum(lens, out=base[1:])
+            # reshape(-1, 2): empty per-image arrays may arrive as (0,)
+            uv_all = (np.concatenate([np.asarray(kp_xy[im],
+                                                 np.float64).reshape(-1, 2)
+                                      for im in imgs])
+                      if len(imgs) else np.zeros((0, 2)))
+            track_cam[tr3, vslot] = ir3.astype(np.int32)
+            track_uv[tr3, vslot] = uv_all[base[ir3] + kp3]
+            track_mask[tr3, vslot] = True
+            track_weight[uniq3[cnt3 >= 3]] = weight_multiview
+            if mutable_points is not None:
+                frozen = ~np.isin(live_arr,
+                                  np.asarray(sorted(mutable_points),
+                                             np.int64))
+                point_mut[:nl][frozen] = 0.0
 
         pose_mut = np.zeros(C)
         pose_mut[: len(imgs)] = [1.0 if im in mutable_img_set else 0.0

@@ -480,7 +480,7 @@ class SLAMGPS:
         ok = np.asarray(ok) & (mask_a.sum(1) >= self.cfg.slam.min_track_views)
 
         if not use_slam_pt:
-            scene.tracks = []
+            scene.reset_tracks()
             for img in scene.registered:
                 scene.kp_to_track[img] = np.full(
                     len(features[img].xy), -1, np.int64)
