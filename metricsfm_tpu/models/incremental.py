@@ -400,7 +400,7 @@ class IncrementalSfM:
 
     # -- BA + culling ------------------------------------------------------
     def _bundle(self, scene: Scene, full: bool, seed_run: bool = False,
-                around_img: Optional[int] = None):
+                around_img: Optional[int] = None, final: bool = False):
         """Partial/full bundle adjustment (ref :917-1026, optimizer.cc).
 
         Partial BA is a LOCAL problem: cameras covisible with around_img
@@ -432,27 +432,42 @@ class IncrementalSfM:
             images = None
             local_tracks = None
         else:
-            vis = set()
+            # local-neighbourhood selection off the flat observation log
+            # (pure numpy; the per-track set walks this replaced measured
+            # as the dominant partial-BA cost at 200 images).  Stale log
+            # entries (keypoint overwrites) don't matter here: membership
+            # of (track, img) is what's queried, and obs are only removed
+            # by whole-track culls, which the bad mask filters.
+            t_all, i_all, _ = scene._obs_arrays()
+            bad = scene.bad_mask()
+            n_tr = len(scene.tracks)
+            reg_mask = np.zeros(scene.n_images, bool)
+            reg_mask[np.fromiter(scene.poses.keys(), np.int64,
+                                 len(scene.poses))] = True
+            vis_ids = np.zeros(0, np.int64)
             if around_img is not None and around_img in scene.kp_to_track:
                 k2t = scene.kp_to_track[around_img]
-                for t in k2t[k2t >= 0]:
-                    vis.update(scene.tracks[int(t)].obs.keys())
-            vis.add(around_img)
-            vis &= set(scene.poses)
+                seed_tracks = np.unique(k2t[k2t >= 0])
+                in_seed = np.zeros(n_tr, bool)
+                in_seed[seed_tracks] = True
+                vis_ids = np.unique(i_all[in_seed[t_all]])
+                vis_ids = vis_ids[reg_mask[vis_ids]]
+            vis = np.unique(np.append(vis_ids, around_img)) \
+                if around_img in scene.poses else vis_ids
             # tracks observed by any mutable camera (the ADVICE-r2 cull
             # scope: these are exactly the points the step can move)
-            tset = set()
-            for im in vis:
-                k2t = scene.kp_to_track[im]
-                tset.update(int(t) for t in k2t[k2t >= 0])
-            local_tracks = [t for t in tset if not scene.tracks[t].is_bad]
+            vis_mask = np.zeros(scene.n_images, bool)
+            vis_mask[vis] = True
+            tset = np.unique(t_all[vis_mask[i_all]])
+            local_arr = tset[~bad[tset]] if tset.size else tset
+            local_tracks = local_arr.tolist()
             # anchor cameras: frozen observers of the local tracks
-            cams = set(vis)
-            for t in local_tracks:
-                cams.update(scene.tracks[t].obs.keys())
-            cams &= set(scene.poses)
-            mutable = list(vis)
-            images = sorted(cams)
+            in_local = np.zeros(n_tr, bool)
+            in_local[local_arr] = True
+            cam_ids = np.unique(i_all[in_local[t_all]])
+            cam_ids = cam_ids[reg_mask[cam_ids]]
+            mutable = [int(v) for v in vis]
+            images = sorted({int(c) for c in cam_ids} | set(mutable))
             weight = self.cfg.sfm.weight_multiview
         gauge = scene.registered[0]
         mutable = [im for im in mutable if im != gauge]
@@ -477,7 +492,11 @@ class IncrementalSfM:
             prob = ba_problem.perturb_problem(
                 prob, self._next_key(), self.cfg.ba.perturb_sigma_rot,
                 self.cfg.ba.perturb_sigma_t, self.cfg.ba.perturb_sigma_pt)
-        lm_cfg = base_cfg if full else base_cfg._replace(max_iterations=30)
+        if full:
+            lm_cfg = base_cfg if final else base_cfg._replace(
+                max_iterations=self.cfg.sfm.th_step_full_ba_iterations)
+        else:
+            lm_cfg = base_cfg._replace(max_iterations=30)
         prob, info = solve_lm(prob, lm_cfg)
         if seed_run:
             prob = ba_problem.denormalize_problem(prob, tf)
@@ -695,7 +714,7 @@ class IncrementalSfM:
                           f"{scene.n_points()} total, {len(remaining)} left")
             # final full BA + cull
             if len(scene.registered) > 2:
-                self._bundle(scene, full=True)
+                self._bundle(scene, full=True, final=True)
                 self._cull_outliers(scene, self.cfg.sfm.th_mse_outliers)
             self._write_checkpoint(checkpoint_dir, model_idx, scene)
             self.scenes.append(scene)

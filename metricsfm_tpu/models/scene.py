@@ -85,12 +85,19 @@ class Scene:
         self._obs_i: List[int] = []
         self._obs_k: List[int] = []
         self._obs_np = None          # cached np conversion (prefix-stable)
+        self._bad: List[bool] = []   # parallel to tracks (mark_bad syncs)
 
     def reset_tracks(self):
         """Drop all tracks (SLAM retriangulation rebuilds from scratch)."""
         self.tracks = []
         self._obs_t, self._obs_i, self._obs_k = [], [], []
         self._obs_np = None
+        self._bad = []
+
+    def bad_mask(self) -> np.ndarray:
+        """(n_tracks,) bool; True = culled."""
+        return np.asarray(self._bad, bool) if self._bad \
+            else np.zeros(0, bool)
 
     def _obs_arrays(self):
         """Numpy views of the observation log (cached; only the appended
@@ -136,6 +143,7 @@ class Scene:
         t = Track(xyz=np.asarray(xyz, np.float64), obs=dict(obs))
         idx = len(self.tracks)
         self.tracks.append(t)
+        self._bad.append(False)
         for img, kp in obs.items():
             self.kp_to_track[img][kp] = idx
             self._bump(img)
@@ -155,6 +163,7 @@ class Scene:
     def mark_bad(self, track_idx: int):
         t = self.tracks[track_idx]
         t.is_bad = True
+        self._bad[track_idx] = True
         for img, kp in t.obs.items():
             if self.kp_to_track[img][kp] == track_idx:
                 self.kp_to_track[img][kp] = -1
@@ -209,10 +218,12 @@ class Scene:
         # cache survives the one-image-per-step growth of the incremental
         # loop instead of recompiling at every new C.
         C = bucket(len(imgs), 8)
+        bad = self.bad_mask()
         if tracks is None:
-            live = [i for i, t in enumerate(self.tracks) if not t.is_bad]
+            live = np.nonzero(~bad)[0].tolist()
         else:
-            live = [i for i in sorted(tracks) if not self.tracks[i].is_bad]
+            arr = np.unique(np.asarray(sorted(tracks), np.int64))
+            live = arr[~bad[arr]].tolist() if arr.size else []
         P = bucket(max(len(live), 1))
         V = max_views
 
