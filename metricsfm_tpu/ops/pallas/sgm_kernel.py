@@ -182,16 +182,26 @@ def _skew_diag(tot, w_real: int, compute):
     return jnp.where(sub + lane >= w_real, big, out)
 
 
-def _vertical_bwd_kernel(in_c, in_p, o_c0, o_best, o_c1, o_cm, o_cc,
-                         o_cp, o_rc0, o_rbest, o_rc1, o_rcm, o_rcc, o_rcp,
-                         cv, cd1, cd2,
+_WTA_CH = 16         # channel-packed WTA maps: 2x6 used + 4 pad (see below)
+
+
+def _vertical_bwd_kernel(in_c, in_p, out, cv, cd1, cd2,
                          *, k: int, p1: int, p2: int, diag: bool,
                          d_real: int, w_real: int):
     """Up + up-left + up-right paths added onto the forward partial sum —
     the running block then holds the COMPLETE 8-path total, so BOTH fused
     WTA epilogues (left image, and right image via the in-VMEM diagonal
     skew) run here while the slab is still in VMEM.  The summed volume
-    itself is never written back to HBM."""
+    itself is never written back to HBM.
+
+    The 12 per-pixel WTA maps are packed as CHANNELS of one
+    (KV, 16, Wp) output and stored with a dynamic index on the untiled
+    leading axis only: current Mosaic rejects dynamic single-row stores
+    into 2D blocks ('cannot statically prove that index in dimension 0 is
+    a multiple of 8' — the sublane axis needs static alignment), while
+    leading-axis stores into 3D blocks are unconstrained.  Channel order:
+    (c0, best, c1, cm, cc, cp) left, then the same for right; 4 pad rows
+    keep the sublane dim at 16 (the int16 tile)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -199,7 +209,7 @@ def _vertical_bwd_kernel(in_c, in_p, o_c0, o_best, o_c1, o_cm, o_cc,
         for ref in (cv, cd1, cd2):
             ref[:] = jnp.full_like(ref, _BIG)
 
-    sdt = o_c0.dtype
+    sdt = out.dtype
     cdt = cv.dtype
 
     def body(kk, _):
@@ -214,38 +224,25 @@ def _vertical_bwd_kernel(in_c, in_p, o_c0, o_best, o_c1, o_cm, o_cc,
             cd1[:] = nd1
             cd2[:] = nd2
             tot = tot + nd1 + nd2
-        c0, best, c1, cm, cc, cp = _wta_rows(tot, d_real, cdt)
-        o_c0[r] = c0.astype(sdt)
-        o_best[r] = best.astype(jnp.int32)
-        o_c1[r] = c1.astype(sdt)
-        o_cm[r] = cm.astype(sdt)
-        o_cc[r] = cc.astype(sdt)
-        o_cp[r] = cp.astype(sdt)
-        rtot = _skew_diag(tot, w_real, cdt)
-        c0, best, c1, cm, cc, cp = _wta_rows(rtot, d_real, cdt)
-        o_rc0[r] = c0.astype(sdt)
-        o_rbest[r] = best.astype(jnp.int32)
-        o_rc1[r] = c1.astype(sdt)
-        o_rcm[r] = cm.astype(sdt)
-        o_rcc[r] = cc.astype(sdt)
-        o_rcp[r] = cp.astype(sdt)
+        l6 = _wta_rows(tot, d_real, cdt)
+        r6 = _wta_rows(_skew_diag(tot, w_real, cdt), d_real, cdt)
+        zero = jnp.zeros_like(l6[0])
+        out[r] = jnp.stack([v.astype(cdt) for v in l6 + r6]
+                           + [zero] * (_WTA_CH - 12)).astype(sdt)
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
 
 
-def _wta_kernel(in_t, o_c0, o_best, o_c1, o_cm, o_cc, o_cp,
-                *, k: int, d_real: int, compute):
-    """Standalone fused WTA over an (H, W, D) volume (right-image pass)."""
+def _wta_kernel(in_t, out, *, k: int, d_real: int, compute):
+    """Standalone fused WTA over an (H, W, D) volume (right-image pass);
+    channel-packed output like _vertical_bwd_kernel."""
     def body(kk, _):
         tot = in_t[kk].astype(compute)
-        c0, best, c1, cm, cc, cp = _wta_rows(tot, d_real, compute)
-        o_c0[kk] = c0.astype(in_t.dtype)
-        o_best[kk] = best.astype(jnp.int32)
-        o_c1[kk] = c1.astype(in_t.dtype)
-        o_cm[kk] = cm.astype(in_t.dtype)
-        o_cc[kk] = cc.astype(in_t.dtype)
-        o_cp[kk] = cp.astype(in_t.dtype)
+        six = _wta_rows(tot, d_real, compute)
+        zero = jnp.zeros_like(six[0])
+        out[kk] = jnp.stack([v.astype(compute) for v in six]
+                            + [zero] * (_WTA_CH - 6)).astype(out.dtype)
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
@@ -313,13 +310,6 @@ def _row_specs(KV, Wp, Dp, gv, reverse: bool):
                             memory_space=pltpu.VMEM)
     return pl.BlockSpec((KV, Wp, Dp), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-
-
-def _px_spec(KV, Wp, gv, reverse: bool):
-    if reverse:
-        return pl.BlockSpec((KV, Wp), lambda i, _g=gv: (_g - 1 - i, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((KV, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
 def _kv_for(W: int, D: int, storage) -> int:
@@ -399,23 +389,30 @@ def aggregate_wta_pallas(cost, p1: int = 10, p2: int = 120,
 
     kern_b = functools.partial(_vertical_bwd_kernel, k=KV, p1=int(p1),
                                p2=int(p2), diag=diag, d_real=D, w_real=W)
-    px = jax.ShapeDtypeStruct((Hp, Wp), storage)
-    pxi = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
-    outs = pl.pallas_call(
+    packed = pl.pallas_call(
         kern_b,
         grid=(gv,),
         in_specs=[_row_specs(KV, Wp, Dp, gv, True)] * 2,
-        out_specs=[_px_spec(KV, Wp, gv, True)] * 12,
-        out_shape=[px, pxi, px, px, px, px] * 2,
+        out_specs=pl.BlockSpec((KV, _WTA_CH, Wp),
+                               lambda i, _g=gv: (_g - 1 - i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, _WTA_CH, Wp), storage),
         scratch_shapes=[pltpu.VMEM((Wp, Dp), compute)] * 3,
         compiler_params=vmem,
         interpret=interpret,
     )(cv, partial)
 
     names = ("c0", "best", "c1", "cm", "cc", "cp")
-    wta_l = {k: v[:H, :W] for k, v in zip(names, outs[:6])}
-    wta_r = {k: v[:H, :W] for k, v in zip(names, outs[6:])}
+    wta_l = {k: _unpack_px(packed, c, H, W) for c, k in enumerate(names)}
+    wta_r = {k: _unpack_px(packed, 6 + c, H, W)
+             for c, k in enumerate(names)}
     return wta_l, wta_r
+
+
+def _unpack_px(packed, ch: int, H: int, W: int):
+    """Slice one channel map out of the (Hp, 16, Wp) packed WTA output."""
+    v = packed[:H, ch, :W]
+    return v.astype(jnp.int32) if ch % 6 == 1 else v
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -434,21 +431,20 @@ def wta_pallas(vol, interpret: bool = False):
     Hp, Wp, Dp = vp.shape
     gv = Hp // KV
     kern = functools.partial(_wta_kernel, k=KV, d_real=D, compute=compute)
-    px = jax.ShapeDtypeStruct((Hp, Wp), storage)
-    c0, best, c1, cm, cc, cp = pl.pallas_call(
+    packed = pl.pallas_call(
         kern,
         grid=(gv,),
         in_specs=[_row_specs(KV, Wp, Dp, gv, False)],
-        out_specs=[_px_spec(KV, Wp, gv, False)] * 6,
-        out_shape=[px, jax.ShapeDtypeStruct((Hp, Wp), jnp.int32), px, px,
-                   px, px],
+        out_specs=pl.BlockSpec((KV, _WTA_CH, Wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, _WTA_CH, Wp), storage),
         scratch_shapes=[],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(vp)
-    return {"c0": c0[:H, :W], "best": best[:H, :W], "c1": c1[:H, :W],
-            "cm": cm[:H, :W], "cc": cc[:H, :W], "cp": cp[:H, :W]}
+    names = ("c0", "best", "c1", "cm", "cc", "cp")
+    return {k: _unpack_px(packed, c, H, W) for c, k in enumerate(names)}
 
 
 def _census_cost_kernel(l_a, l_b, r_a, r_b, out, *, k: int, h_real: int,
