@@ -39,7 +39,51 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 16000          # uniform "restart" value; BIG + P2 must fit int16
+_BIG = 8000           # uniform "restart" value.  Must dominate any real
+                      # path value (<= c_max + P2 = 184) and keep the
+                      # 8-path pad-lane sum under 2^16 - 1 for the packed
+                      # volume format: 8 * (_BIG + P2) = 64,960 < 65,535
+
+
+def _pack2(lo, hi):
+    """Pack two non-negative <= 0xffff int32 slabs into one int32 slab.
+
+    Pallas block transfer on this platform is ELEMENT-rate-limited
+    (~19-22 G elements/s for every dtype; see _kv_for), so carrying two
+    16-bit cost values per int32 element HALVES every volume pass.  The
+    int32 << wraps when hi >= 0x8000 — two's complement keeps the bit
+    pattern, _unpack2 masks it back."""
+    return (hi << 16) | lo
+
+
+def _unpack2(v):
+    return v & 0xFFFF, (v >> 16) & 0xFFFF
+
+
+def _pack2f(lo, hi):
+    """_pack2 for float compute values (exact integers <= 0xffff).
+
+    Packed volumes store int32 but the kernels COMPUTE in f32: int32
+    vector min/add measured ~2.5x slower than f32 on this VPU (12.6 vs
+    5.4 ms for the same _partial_sum), which would swamp the DMA win."""
+    return _pack2(lo.astype(jnp.int32), hi.astype(jnp.int32))
+
+
+def _unpack2f(v, dt):
+    lo, hi = _unpack2(v)
+    return lo.astype(dt), hi.astype(dt)
+
+
+def _pack_rows(vol):
+    """(2N, W, D) int32 volume -> (N, W, D) row-pair-packed int32."""
+    return _pack2(vol[0::2], vol[1::2])
+
+
+def _unpack_rows(pv, h: int):
+    """Inverse of _pack_rows, cropped to h rows."""
+    lo, hi = _unpack2(pv)
+    n, w, d = pv.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * n, w, d)[:h]
 
 
 def _step(prev, c, p1, p2):
@@ -72,7 +116,7 @@ def _shift_cols(prev, direction: int):
 
 
 def _horizontal_kernel(in_f, in_b, out_f, out_b, carr_f, carr_b,
-                       *, k: int, p1: int, p2: int):
+                       *, k: int, p1: int, p2: int, packed: bool):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -82,21 +126,45 @@ def _horizontal_kernel(in_f, in_b, out_f, out_b, carr_f, carr_b,
 
     sdt = out_f.dtype
     cdt = carr_f.dtype
+    hb = in_f.shape[0]        # packed rows per block (= carry rows // 2)
+
+    def load(ref, kk):
+        """One (rows, D) cost slab; packed rows unpack to [lo… , hi…]."""
+        slab = ref[:, kk, :]
+        if packed:
+            lo, hi = _unpack2f(slab, cdt)
+            return jnp.concatenate([lo, hi], axis=0)
+        return slab.astype(cdt)
+
+    def store(ref, kk, val):
+        if packed:
+            ref[:, kk, :] = _pack2f(val[:hb], val[hb:])
+        else:
+            ref[:, kk, :] = val.astype(sdt)
+
+    # horizontal paths are row-independent, so the lo/hi halves of a packed
+    # pair step TOGETHER as extra sublanes of one (2*hb, D) slab
     for kk in range(k):
-        nf = _step(carr_f[:], in_f[:, kk, :].astype(cdt), p1, p2)
-        out_f[:, kk, :] = nf.astype(sdt)
+        nf = _step(carr_f[:], load(in_f, kk), p1, p2)
+        store(out_f, kk, nf)
         carr_f[:] = nf
-        nb = _step(carr_b[:], in_b[:, k - 1 - kk, :].astype(cdt), p1, p2)
-        out_b[:, k - 1 - kk, :] = nb.astype(sdt)
+        nb = _step(carr_b[:], load(in_b, k - 1 - kk), p1, p2)
+        store(out_b, k - 1 - kk, nb)
         carr_b[:] = nb
 
 
 def _vertical_fwd_kernel(in_c, in_hf, in_hb, out, cv, cd1, cd2,
-                         *, k: int, p1: int, p2: int, diag: bool):
+                         *, k: int, p1: int, p2: int, diag: bool,
+                         packed: bool):
     """Down + down-right + down-left paths, PLUS the two horizontal
     volumes folded in: out = hf + hb + v + d1 + d2.  Folding the sum here
     removes a whole read+write pass over the volume that a separate
-    4-operand XLA add would cost."""
+    4-operand XLA add would cost.
+
+    packed=True: each block row holds TWO image rows (int32 lo/hi 16-bit
+    halves).  Vertical paths scan rows sequentially, so the pair is two
+    chained _step calls per loaded element — same per-pixel compute,
+    half the DMA."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -112,6 +180,26 @@ def _vertical_fwd_kernel(in_c, in_hf, in_hb, out, cv, cd1, cd2,
     # kernel body stays O(1) in code size (python-unrolled variants blew
     # up Mosaic compile time)
     def body(kk, _):
+        if packed:
+            c_lo, c_hi = _unpack2f(in_c[kk], cdt)
+            hf_lo, hf_hi = _unpack2f(in_hf[kk], cdt)
+            hb_lo, hb_hi = _unpack2f(in_hb[kk], cdt)
+            nv_lo = _step(cv[:], c_lo, p1, p2)
+            nv_hi = _step(nv_lo, c_hi, p1, p2)
+            cv[:] = nv_hi
+            tot_lo = nv_lo + hf_lo + hb_lo
+            tot_hi = nv_hi + hf_hi + hb_hi
+            if diag:
+                nd1_lo = _step(_shift_cols(cd1[:], +1), c_lo, p1, p2)  # DR
+                nd1_hi = _step(_shift_cols(nd1_lo, +1), c_hi, p1, p2)
+                cd1[:] = nd1_hi
+                nd2_lo = _step(_shift_cols(cd2[:], -1), c_lo, p1, p2)  # DL
+                nd2_hi = _step(_shift_cols(nd2_lo, -1), c_hi, p1, p2)
+                cd2[:] = nd2_hi
+                tot_lo = tot_lo + nd1_lo + nd2_lo
+                tot_hi = tot_hi + nd1_hi + nd2_hi
+            out[kk] = _pack2f(tot_lo, tot_hi)
+            return 0
         cf = in_c[kk].astype(cdt)
         nv = _step(cv[:], cf, p1, p2)
         cv[:] = nv
@@ -187,7 +275,7 @@ _WTA_CH = 16         # channel-packed WTA maps: 2x6 used + 4 pad (see below)
 
 def _vertical_bwd_kernel(in_c, in_p, out, cv, cd1, cd2,
                          *, k: int, p1: int, p2: int, diag: bool,
-                         d_real: int, w_real: int):
+                         d_real: int, w_real: int, packed: bool):
     """Up + up-left + up-right paths added onto the forward partial sum —
     the running block then holds the COMPLETE 8-path total, so BOTH fused
     WTA epilogues (left image, and right image via the in-VMEM diagonal
@@ -212,8 +300,36 @@ def _vertical_bwd_kernel(in_c, in_p, out, cv, cd1, cd2,
     sdt = out.dtype
     cdt = cv.dtype
 
+    def wta12(tot):
+        """The 12 channel maps (left WTA + skewed-right WTA) of one row."""
+        l6 = _wta_rows(tot, d_real, cdt)
+        r6 = _wta_rows(_skew_diag(tot, w_real, cdt), d_real, cdt)
+        zero = jnp.zeros_like(l6[0])
+        return jnp.stack([v.astype(cdt) for v in l6 + r6]
+                         + [zero] * (_WTA_CH - 12))
+
     def body(kk, _):
         r = k - 1 - kk
+        if packed:
+            # upward scan: the hi half (row 2r+1) precedes the lo half
+            c_lo, c_hi = _unpack2f(in_c[r], cdt)
+            p_lo, p_hi = _unpack2f(in_p[r], cdt)
+            nv_hi = _step(cv[:], c_hi, p1, p2)
+            nv_lo = _step(nv_hi, c_lo, p1, p2)
+            cv[:] = nv_lo
+            tot_hi = nv_hi + p_hi
+            tot_lo = nv_lo + p_lo
+            if diag:
+                nd1_hi = _step(_shift_cols(cd1[:], -1), c_hi, p1, p2)  # UL
+                nd1_lo = _step(_shift_cols(nd1_hi, -1), c_lo, p1, p2)
+                cd1[:] = nd1_lo
+                nd2_hi = _step(_shift_cols(cd2[:], +1), c_hi, p1, p2)  # UR
+                nd2_lo = _step(_shift_cols(nd2_hi, +1), c_lo, p1, p2)
+                cd2[:] = nd2_lo
+                tot_hi = tot_hi + nd1_hi + nd2_hi
+                tot_lo = tot_lo + nd1_lo + nd2_lo
+            out[r] = _pack2f(wta12(tot_lo), wta12(tot_hi))
+            return 0
         cb = in_c[r].astype(cdt)
         nv = _step(cv[:], cb, p1, p2)
         cv[:] = nv
@@ -224,11 +340,7 @@ def _vertical_bwd_kernel(in_c, in_p, out, cv, cd1, cd2,
             cd1[:] = nd1
             cd2[:] = nd2
             tot = tot + nd1 + nd2
-        l6 = _wta_rows(tot, d_real, cdt)
-        r6 = _wta_rows(_skew_diag(tot, w_real, cdt), d_real, cdt)
-        zero = jnp.zeros_like(l6[0])
-        out[r] = jnp.stack([v.astype(cdt) for v in l6 + r6]
-                           + [zero] * (_WTA_CH - 12)).astype(sdt)
+        out[r] = wta12(tot).astype(sdt)
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
@@ -264,23 +376,27 @@ def _pad_to(x, mults):
     return x
 
 
-def _horizontal_pass(ch, p1, p2, storage, compute, vmem, interpret):
+def _horizontal_pass(ch, p1, p2, storage, compute, vmem, interpret,
+                     packed=False):
     """Left->right and right->left paths over an already-padded volume;
-    returns the two (Hp, Wp, Dp) volumes."""
+    returns the two (Hp, Wp, Dp) volumes.  packed: row-pair int32 volume
+    (leading axis counts packed rows; carries hold 2x rows)."""
     Hp, Wp, Dp = ch.shape
     KH = 16           # sublane tile; also the unroll factor (compile size)
     bsz = 2 if storage == jnp.int16 else 4
-    hb_max = max(16, (8 << 20) // (KH * Dp * bsz))
+    align = 8 if packed else 16
+    hb_max = max(align, (8 << 20) // (KH * Dp * bsz))
     HB = Hp
     nb = 1
     while HB > hb_max:      # smallest row-band split that divides Hp
         nb += 1
-        while Hp % nb or (Hp // nb) % 16:
+        while Hp % nb or (Hp // nb) % align:
             nb += 1
         HB = Hp // nb
     gh, gw = Hp // HB, Wp // KH
+    carry_rows = 2 * HB if packed else HB
     kern_h = functools.partial(_horizontal_kernel, k=KH, p1=int(p1),
-                               p2=int(p2))
+                               p2=int(p2), packed=packed)
     out_hf, out_hb = pl.pallas_call(
         kern_h,
         grid=(gh, gw),
@@ -297,7 +413,7 @@ def _horizontal_pass(ch, p1, p2, storage, compute, vmem, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((Hp, Wp, Dp), storage)] * 2,
-        scratch_shapes=[pltpu.VMEM((HB, Dp), compute)] * 2,
+        scratch_shapes=[pltpu.VMEM((carry_rows, Dp), compute)] * 2,
         compiler_params=vmem,
         interpret=interpret,
     )(ch, ch)
@@ -314,8 +430,14 @@ def _row_specs(KV, Wp, Dp, gv, reverse: bool):
 
 def _kv_for(W: int, D: int, storage) -> int:
     """Rows per vertical grid step: a power of two in [8, 64] under a ~4MB
-    input block budget (2D pixel-map output blocks need a sublane size
-    divisible by 8)."""
+    input block budget.
+
+    Block size is NOT a throughput lever here: Pallas block DMA on this
+    platform is ELEMENT-rate-limited (~22 G elements/s for int8/int16/
+    int32 alike, measured round 3 with pure-copy kernels at KV 16/64/128
+    — vs 100 Gel/s for an XLA elementwise pass), so only the number of
+    element-passes over the volume matters; see the lane-packing in
+    aggregate_wta_pallas."""
     bsz = 2 if storage == jnp.int16 else 4
     kv_budget = max(8, (4 << 20) // ((-(-W // 16) * 16) * max(D, 128) * bsz))
     KV = 64
@@ -334,14 +456,15 @@ def _vertical_setup(cost, storage):
     return cv, KV
 
 
-def _partial_sum(cv, KV, p1, p2, diag, storage, compute, vmem, interpret):
+def _partial_sum(cv, KV, p1, p2, diag, storage, compute, vmem, interpret,
+                 packed=False):
     """Kernels 1+2: horizontal pair, then vertical fwd folding hf+hb in."""
     Hp, Wp, Dp = cv.shape
     gv = Hp // KV
     out_hf, out_hb = _horizontal_pass(cv, p1, p2, storage, compute, vmem,
-                                      interpret)
+                                      interpret, packed=packed)
     kern_f = functools.partial(_vertical_fwd_kernel, k=KV, p1=int(p1),
-                               p2=int(p2), diag=diag)
+                               p2=int(p2), diag=diag, packed=packed)
     return pl.pallas_call(
         kern_f,
         grid=(gv,),
@@ -356,10 +479,11 @@ def _partial_sum(cv, KV, p1, p2, diag, storage, compute, vmem, interpret):
 
 @functools.partial(jax.jit, static_argnames=("p1", "p2", "num_paths",
                                              "interpret", "storage",
-                                             "real_shape"))
+                                             "real_shape", "packed"))
 def aggregate_wta_pallas(cost, p1: int = 10, p2: int = 120,
                          num_paths: int = 8, interpret: bool = False,
-                         storage=jnp.float32, real_shape=None):
+                         storage=jnp.float32, real_shape=None,
+                         packed: bool = False):
     """Fused 4/8-path SGM aggregation + BOTH winner-takes-all passes.
 
     Three kernels, five HBM passes over the volume total, and the summed
@@ -371,25 +495,45 @@ def aggregate_wta_pallas(cost, p1: int = 10, p2: int = 120,
          right-image ones (via the in-VMEM diagonal skew cost_r(x, d) =
          total(x+d, d)) computed while the slab is in VMEM.
 
+    packed=True: the volume lives in HBM as row-pair-packed int32 (two
+    16-bit cost values per element — lo = row 2i, hi = row 2i+1).  Pallas
+    block DMA on this platform is ELEMENT-rate-limited (~22 G elements/s
+    for every dtype), so packing halves the cost of every volume pass.
+    An int32 `cost` is taken as already packed (census_cost_pallas
+    packed=True output, `real_shape` required); any other dtype is padded
+    and packed here.
+
     Returns (wta_left, wta_right) dicts of (H, W) maps.  `real_shape`
     gives the true (H, W, D) when `cost` is already padded
     (census_cost_pallas output).
     """
     H, W, D = real_shape or cost.shape
-    compute = jnp.int32 if jnp.issubdtype(storage, jnp.integer) else storage
-    cost = cost.astype(storage)
+    if packed:
+        storage = jnp.int32
+        compute = jnp.float32       # int32 VPU math is ~2.5x slower (_pack2f)
+        KV = _kv_for(W, D, jnp.int32)
+        if cost.dtype != jnp.int32:        # raw (H, W, D) volume: pack here
+            cvu = _pad_to(cost.astype(jnp.int32),
+                          (2 * max(8, KV), 16, 128))
+            cost = _pack_rows(cvu)
+        cv = cost
+    else:
+        compute = (jnp.int32 if jnp.issubdtype(storage, jnp.integer)
+                   else storage)
+        cost = cost.astype(storage)
+        cv, KV = _vertical_setup(cost, storage)
 
     vmem = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
-    cv, KV = _vertical_setup(cost, storage)
     Hp, Wp, Dp = cv.shape
     gv = Hp // KV
     diag = num_paths >= 8
     partial = _partial_sum(cv, KV, p1, p2, diag, storage, compute, vmem,
-                           interpret)
+                           interpret, packed=packed)
 
     kern_b = functools.partial(_vertical_bwd_kernel, k=KV, p1=int(p1),
-                               p2=int(p2), diag=diag, d_real=D, w_real=W)
-    packed = pl.pallas_call(
+                               p2=int(p2), diag=diag, d_real=D, w_real=W,
+                               packed=packed)
+    pk = pl.pallas_call(
         kern_b,
         grid=(gv,),
         in_specs=[_row_specs(KV, Wp, Dp, gv, True)] * 2,
@@ -402,9 +546,11 @@ def aggregate_wta_pallas(cost, p1: int = 10, p2: int = 120,
         interpret=interpret,
     )(cv, partial)
 
+    if packed:
+        pk = _unpack_rows(pk, 2 * Hp)      # (2*Hp, 16, Wp) int32
     names = ("c0", "best", "c1", "cm", "cc", "cp")
-    wta_l = {k: _unpack_px(packed, c, H, W) for c, k in enumerate(names)}
-    wta_r = {k: _unpack_px(packed, 6 + c, H, W)
+    wta_l = {k: _unpack_px(pk, c, H, W) for c, k in enumerate(names)}
+    wta_r = {k: _unpack_px(pk, 6 + c, H, W)
              for c, k in enumerate(names)}
     return wta_l, wta_r
 
@@ -449,7 +595,7 @@ def wta_pallas(vol, interpret: bool = False):
 
 def _census_cost_kernel(l_a, l_b, r_a, r_b, out, *, k: int, h_real: int,
                         w_real: int, d_real: int, win_h: int, win_w: int,
-                        r_pad: int):
+                        r_pad: int, packed: bool):
     """Fused census transform + Hamming cost volume, one output write.
 
     Each grid step sees two ADJACENT k-row image blocks (the census window
@@ -509,6 +655,8 @@ def _census_cost_kernel(l_a, l_b, r_a, r_b, out, *, k: int, h_real: int,
             step *= 2
         return v
 
+    cdt = jnp.int32 if packed else sdt
+    prev_row = [None]
     for kk in range(k):       # static: sublane slices of the census slabs
         a_lo = jnp.broadcast_to(cl_lo[kk:kk + 1, :], (D, W))
         a_hi = jnp.broadcast_to(cl_hi[kk:kk + 1, :], (D, W))
@@ -516,32 +664,47 @@ def _census_cost_kernel(l_a, l_b, r_a, r_b, out, *, k: int, h_real: int,
         b_hi = shift_r(cr_hi[kk:kk + 1, :])
         ham = (jax.lax.population_count((a_lo ^ b_lo).astype(jnp.int32))
                + jax.lax.population_count((a_hi ^ b_hi).astype(jnp.int32))
-               ).astype(sdt)
+               ).astype(cdt)
         # out-of-range disparities (x < d) -> 64; real-D overflow -> _BIG
-        ham = jnp.where(lane_x < sub_d, jnp.asarray(64, sdt), ham)
-        ham = jnp.where(sub_d >= d_real, jnp.asarray(_BIG, sdt), ham)
+        ham = jnp.where(lane_x < sub_d, jnp.asarray(64, cdt), ham)
+        ham = jnp.where(sub_d >= d_real, jnp.asarray(_BIG, cdt), ham)
         # pad rows -> UNIFORM 64 across all lanes (path-restart semantics
         # at the boundary; matches _pad_to's pad order)
-        ham = jnp.where(r0 + kk >= h_real, jnp.asarray(64, sdt), ham)
+        ham = jnp.where(r0 + kk >= h_real, jnp.asarray(64, cdt), ham)
         hamT = jnp.swapaxes(ham, 0, 1)              # (W, D)
         if Wp > W:
             hamT = jnp.concatenate(
-                [hamT, jnp.full((Wp - W, D), 64, sdt)], axis=0)
-        out[kk] = hamT
+                [hamT, jnp.full((Wp - W, D), 64, cdt)], axis=0)
+        if packed:
+            if kk % 2:
+                out[kk // 2] = _pack2(prev_row[0], hamT)
+            else:
+                prev_row[0] = hamT
+        else:
+            out[kk] = hamT
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "interpret",
-                                             "storage", "win_h", "win_w"))
+                                             "storage", "win_h", "win_w",
+                                             "packed"))
 def census_cost_pallas(left, right, max_disp: int, interpret: bool = False,
-                       storage=jnp.float32, win_h: int = 9, win_w: int = 7):
+                       storage=jnp.float32, win_h: int = 9, win_w: int = 7,
+                       packed: bool = False):
     """Census + Hamming cost volume (ref census_transform.cu semantics),
     emitted directly in the padded layout the aggregation kernels consume
     (D pads = _BIG, H/W pads = 64).  Returns the (Hp, Wp, Dp) volume; pass
-    real_shape=(H, W, max_disp) to aggregate_wta_pallas."""
+    real_shape=(H, W, max_disp) to aggregate_wta_pallas.
+
+    packed=True: emit the row-pair-packed int32 volume ((Hp/2, Wp, Dp),
+    rows 2i/2i+1 in the lo/hi 16 bits) that aggregate_wta_pallas
+    packed=True consumes — half the elements through the element-rate-
+    limited block DMA."""
     H, W = left.shape
     D = max_disp
+    if packed:
+        storage = jnp.int32
     KV = _kv_for(W, D, storage)
-    mh = max(16, KV)
+    mh = max(16, 2 * KV) if packed else max(16, KV)
     Hp = -(-H // mh) * mh
     Wp = -(-W // 16) * 16
     Dp = -(-D // 128) * 128
@@ -557,17 +720,19 @@ def census_cost_pallas(left, right, max_disp: int, interpret: bool = False,
     rp = jnp.pad(right, ((rh, HpR - H - rh), (rw, rw + w6p)))
     kern = functools.partial(_census_cost_kernel, k=k, h_real=H, w_real=W,
                              d_real=D, win_h=win_h, win_w=win_w,
-                             r_pad=rw + w6p)
+                             r_pad=rw + w6p, packed=packed)
     WI = lp.shape[1]
     blk_a = pl.BlockSpec((k, WI), lambda i: (i, 0), memory_space=pltpu.VMEM)
     blk_b = pl.BlockSpec((k, WI), lambda i: (i + 1, 0),
                          memory_space=pltpu.VMEM)
+    ko = k // 2 if packed else k
+    Ho = Hp // 2 if packed else Hp
     return pl.pallas_call(
         kern,
         grid=(gv,),
         in_specs=[blk_a, blk_b, blk_a, blk_b],
-        out_specs=_row_specs(k, Wp, Dp, gv, False),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), storage),
+        out_specs=_row_specs(ko, Wp, Dp, gv, False),
+        out_shape=jax.ShapeDtypeStruct((Ho, Wp, Dp), storage),
         scratch_shapes=[],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),

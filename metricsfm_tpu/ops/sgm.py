@@ -306,10 +306,15 @@ def stereo_sgm(left, right, max_disp: int = 128, p1: int = 10,
         # fully fused TPU path: census+cost volume in one kernel (single
         # volume write), then 3 kernels do aggregation + BOTH WTA passes
         # (left directly, right via an in-VMEM diagonal skew); the summed
-        # volume is never written back to HBM (pallas/sgm_kernel.py)
-        cost_p = census_cost_pallas(left, right, max_disp)
+        # volume is never written back to HBM (pallas/sgm_kernel.py).
+        # packed=True: volumes live as row-pair-packed int32 (two 16-bit
+        # costs per element) — Pallas block DMA here is ELEMENT-rate-
+        # limited (~22 Gel/s for every dtype), so packing halves every
+        # volume pass.  (int16 storage was 2.2x SLOWER: the (16, 128)-tile
+        # relayout + casts at every load/store swamp the DMA win.)
+        cost_p = census_cost_pallas(left, right, max_disp, packed=True)
         wta_l, wta_r = aggregate_wta_pallas(cost_p, p1, p2, num_paths,
-                                            storage=jnp.float32,
+                                            packed=True,
                                             real_shape=(H, W, D))
         disp_l, uniq_l = _disp_from_wta(wta_l, D, uniqueness, subpixel)
         disp_r, _ = _disp_from_wta(wta_r, D, uniqueness, subpixel)
