@@ -14,7 +14,6 @@ L = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
 R = jnp.asarray(rng.uniform(0, 1, size=(H, W)).astype(np.float32))
 
 cost_p = jax.block_until_ready(K.census_cost_pallas(L, R, D, packed=True))
-vmem = jax.NamedSharding  # noqa
 
 
 def timeit(name, fn, *args):

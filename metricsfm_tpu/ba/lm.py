@@ -56,6 +56,13 @@ class LMConfig(NamedTuple):
     cg_iterations: int = 0
     cg_tol: float = 1e-5
     cg_chunk: int = 4096
+    # inexact-Newton forcing sequence (Agarwal et al., BAL §3): the CG
+    # relative tolerance starts loose (cg_eta0) and tightens superlinearly
+    # (eta <- max(cg_tol, eta^1.5)) on every ACCEPTED LM step — early LM
+    # steps far from the optimum don't deserve exact linear solves, and
+    # the while_loop'd CG exits early at loose tolerances.
+    cg_forcing: bool = True
+    cg_eta0: float = 0.25
     # per-camera gather width for the CG matvec reduction: when > 0, the
     # per-view contributions are summed by a (C, K) gather table (one
     # argsort per solve, ~20x less HBM than one-hot matmuls / scatter).
@@ -569,7 +576,7 @@ def _gather_table(ids, n: int, K: int):
 
 
 def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
-              axis_name=None):
+              axis_name=None, tol_rel=None):
     """Block-Jacobi PCG on the damped, freeze-masked reduced system.
 
     With `axis_name` set (inside shard_map over a track shard), the only
@@ -687,7 +694,9 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
 
     rhs = rhs * free
     b_norm = jnp.linalg.norm(rhs)
-    tol2 = (cfg.cg_tol * b_norm) ** 2
+    if tol_rel is None:
+        tol_rel = cfg.cg_tol
+    tol2 = (tol_rel * b_norm) ** 2
 
     def cond(state):
         i, x, r, z, p, rz = state
@@ -713,7 +722,7 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
 
 
 def _assemble_and_solve_cg(problem: BAProblem, lam, cfg: LMConfig,
-                           axis_name=None):
+                           axis_name=None, tol_rel=None):
     C, M = problem.n_cameras, problem.n_models
     terms, rhs, aux = _track_terms(problem, lam, cfg)
     if axis_name is not None:
@@ -724,17 +733,18 @@ def _assemble_and_solve_cg(problem: BAProblem, lam, cfg: LMConfig,
         terms["blk_intr"] = jax.lax.psum(terms["blk_intr"], axis_name)
     Hg, Ht, rhs_extra = _gps_prior_blocks(problem)
     d_cam = _cg_solve(problem, terms, Hg, Ht, rhs + rhs_extra, lam, cfg,
-                      axis_name=axis_name)
+                      axis_name=axis_name, tol_rel=tol_rel)
     d_pt = backsub_points(aux, d_cam, problem)
     d_pose = d_cam[:6 * C].reshape(C, 6) * problem.pose_mut[:, None]
     d_intr = d_cam[6 * C:].reshape(M, 3) * problem.intr_mut[:, None]
     return d_pose, d_intr, d_pt
 
 
-def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig):
+def _assemble_and_solve(problem: BAProblem, lam, cfg: LMConfig,
+                        tol_rel=None):
     """Single-device path: partial system == full system."""
     if cfg.cg_iterations > 0:
-        return _assemble_and_solve_cg(problem, lam, cfg)
+        return _assemble_and_solve_cg(problem, lam, cfg, tol_rel=tol_rel)
     C, M = problem.n_cameras, problem.n_models
     S, rhs, aux = partial_camera_system(problem, lam, cfg)
     d_cam = solve_reduced(S, rhs, problem, lam, cfg)
@@ -801,14 +811,16 @@ def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
 @partial(jax.jit, static_argnames=("cfg",))
 def _solve_lm_jit(problem: BAProblem, cfg: LMConfig = LMConfig()):
     cost0 = problem_cost(problem, cfg.huber_delta)
+    forcing = cfg.cg_forcing and cfg.cg_iterations > 0
 
     def cond(state):
-        it, _, _, _, done = state
+        it, _, _, _, done, _ = state
         return (it < cfg.max_iterations) & (~done)
 
     def body(state):
-        it, prob, lam, cost, done = state
-        d_pose, d_intr, d_pt = _assemble_and_solve(prob, lam, cfg)
+        it, prob, lam, cost, done, eta = state
+        d_pose, d_intr, d_pt = _assemble_and_solve(
+            prob, lam, cfg, tol_rel=eta if forcing else None)
         cand = _apply_step(prob, d_pose, d_intr, d_pt)
         new_cost = problem_cost(cand, cfg.huber_delta)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
@@ -816,14 +828,20 @@ def _solve_lm_jit(problem: BAProblem, cfg: LMConfig = LMConfig()):
         lam = jnp.where(accept,
                         jnp.maximum(lam / cfg.lambda_down, cfg.min_lambda),
                         jnp.minimum(lam * cfg.lambda_up, cfg.max_lambda))
+        # forcing sequence: tighten superlinearly on acceptance only
+        eta = jnp.where(accept,
+                        jnp.maximum(eta ** 1.5, cfg.cg_tol), eta)
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = accept & (rel < cfg.rtol)
         cost = jnp.where(accept, new_cost, cost)
-        return it + 1, prob, lam, cost, done
+        return it + 1, prob, lam, cost, done, eta
 
     lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
-    it, prob, lam, cost, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False)))
+    eta0 = jnp.asarray(cfg.cg_eta0 if forcing else cfg.cg_tol,
+                       problem.points.dtype)
+    it, prob, lam, cost, done, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False), eta0))
     n_obs = problem.n_observations()
     info = {"initial_cost": cost0, "final_cost": cost, "iterations": it,
             "lambda": lam, "converged": done,

@@ -19,6 +19,10 @@ def _fpath(out: str, i: int) -> str:
     return os.path.join(out, f"{i}_feature.npz")
 
 
+def _npath(out: str, i: int) -> str:
+    return os.path.join(out, f"{i}_feature.msf")
+
+
 def _wpath(out: str, i: int) -> str:
     return os.path.join(out, f"{i}_words.npz")
 
@@ -28,10 +32,34 @@ def _mpath(out: str, i: int, j: int) -> str:
 
 
 def has_features(out: str, i: int) -> bool:
-    return os.path.exists(_fpath(out, i))
+    return os.path.exists(_fpath(out, i)) or os.path.exists(_npath(out, i))
 
 
-def write_features(out: str, i: int, xy, desc, mask, sigma, angle, meta: dict):
+def write_features(out: str, i: int, xy, desc, mask, sigma, angle, meta: dict,
+                   native: bool = False):
+    """Persist one image's feature record.
+
+    native=True routes the ARRAY payload through the C++ raw-record store
+    (native/feature_store.cpp, io/native_store.py) — fixed-layout
+    memcpy-able records instead of per-file deflate; measured ~20x faster
+    ingestion than savez_compressed on 8k x 128 f32 descriptors (the
+    reference's counterpart is its binary per-image file IO,
+    SfM/src/database.cc:490-541).  The non-array metadata (gps, source
+    path) rides in a tiny JSON sidecar.  Falls back to .npz when the
+    native library can't be built.
+    """
+    if native:
+        from . import native_store
+        p = _npath(out, i)
+        if native_store.write_features(
+                p + ".tmp", xy, desc, mask, sigma, angle,
+                int(meta["width"]), int(meta["height"]),
+                float(meta.get("focal_px", 0.0))):
+            with open(p + ".json.tmp", "w") as f:
+                json.dump(meta, f)
+            os.replace(p + ".json.tmp", p + ".json")
+            os.replace(p + ".tmp", p)
+            return
     tmp = os.path.join(out, f"{i}_feature.tmp.npz")
     np.savez_compressed(tmp, xy=xy, desc=desc, mask=mask, sigma=sigma,
                         angle=angle, meta=json.dumps(meta))
@@ -39,6 +67,18 @@ def write_features(out: str, i: int, xy, desc, mask, sigma, angle, meta: dict):
 
 
 def read_features(out: str, i: int) -> Optional[dict]:
+    pn = _npath(out, i)
+    if os.path.exists(pn):
+        from . import native_store
+        d = native_store.read_features(pn)
+        if d is not None:
+            meta = {"width": d["width"], "height": d["height"],
+                    "focal_px": d["focal"]}
+            if os.path.exists(pn + ".json"):
+                with open(pn + ".json") as f:
+                    meta = json.load(f)
+            return {"xy": d["xy"], "desc": d["desc"], "mask": d["mask"],
+                    "sigma": d["sigma"], "angle": d["angle"], "meta": meta}
     p = _fpath(out, i)
     if not os.path.exists(p):
         return None

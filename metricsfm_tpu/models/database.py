@@ -158,7 +158,8 @@ class Database:
                         meta={"width": W, "height": H,
                               "focal_px": info.get("focal_px", 0.0) * ratio,
                               "gps": info.get("gps", (0.0, 0.0, 0.0)),
-                              "path": self.image_paths[i]})
+                              "path": self.image_paths[i]},
+                        native=self.opts.use_native_store)
                 done += len(chunk)
                 if verbose:
                     print(f"features {done}/{len(missing)} "

@@ -548,11 +548,19 @@ class SLAMGPS:
         w = turn_weights(cams_gps)
         if w.sum() < 1e-9:
             w = np.ones_like(w)
+        # host-side f64 demean keeps UTM-magnitude coordinates f32-safe on
+        # device (x64 is disabled, so a jnp.float64 cast would silently
+        # truncate — raw UTM eastings ~5e5 m only carry ~3 cm in f32):
+        # align the DEMEANED clouds on device, reconstruct the full-frame
+        # translation in numpy f64 afterwards.
+        mc = np.asarray(centers, np.float64).mean(axis=0)
+        mg = np.asarray(cams_gps, np.float64).mean(axis=0)
         s, R, t = umeyama.similarity_align(
-            jnp.asarray(centers, jnp.float64).astype(jnp.float32),
-            jnp.asarray(cams_gps, jnp.float64).astype(jnp.float32),
+            jnp.asarray(np.asarray(centers, np.float64) - mc, jnp.float32),
+            jnp.asarray(np.asarray(cams_gps, np.float64) - mg, jnp.float32),
             weights=jnp.asarray(w, jnp.float32))
-        s_, R_, t_ = float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
+        s_, R_ = float(s), np.asarray(R, np.float64)
+        t_ = np.asarray(t, np.float64) + mg - s_ * (R_ @ mc)
         # transform cameras and points
         for img in scene.registered:
             scene.poses[img] = np_geom.apply_similarity_to_pose(

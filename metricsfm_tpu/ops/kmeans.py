@@ -204,7 +204,11 @@ def similarity_chunked(word_lists, n_words: int,
       n_words: vocabulary size.
     Returns (sim (n, n) np.float32 cosine with zero diagonal,
              inter (n, n) np.float32 distinct-word intersection counts).
-    Peak memory: O(n^2 + n * block).
+    Peak memory: O(n^2 + n * block) — the n x n outputs are DENSE by
+    design; the stop-line is ~16k images (2 GB for the two matrices).
+    Covered BASELINE scale is config 5 (5k images, ~200 MB); beyond the
+    stop-line the outputs must become top-k lists (candidates_bow already
+    consumes only a top-k row slice).
     """
     n = len(word_lists)
     sorted_w = [np.sort(np.asarray(w)[np.asarray(w) >= 0])

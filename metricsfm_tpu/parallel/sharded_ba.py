@@ -45,7 +45,7 @@ def _local_cost(problem: BAProblem, huber_delta, axis_name):
 
 
 def _make_step(cfg: LMConfig, axis_name: str):
-    def step(problem: BAProblem, lam):
+    def step(problem: BAProblem, lam, tol_rel=None):
         """One LM candidate step on the local shard (collectives inside).
 
         cfg.cg_iterations > 0 selects the matrix-free block-Jacobi PCG
@@ -53,11 +53,14 @@ def _make_step(cfg: LMConfig, axis_name: str):
         partial materializes an O(P_shard*C) one-hot factor and a full
         (D, D) S per device).  Its communication is one (D,) psum per CG
         iteration instead of one (D, D) psum per LM iteration.
+        `tol_rel` (traced scalar) overrides the CG relative tolerance —
+        the forcing-sequence hook; every shard sees the same value, so
+        the early-exit condition stays collective-consistent.
         """
         C, M = problem.n_cameras, problem.n_models
         if cfg.cg_iterations > 0:
             d_pose, d_intr, d_pt = _assemble_and_solve_cg(
-                problem, lam, cfg, axis_name=axis_name)
+                problem, lam, cfg, axis_name=axis_name, tol_rel=tol_rel)
         else:
             S_part, rhs_part, aux = partial_camera_system(problem, lam, cfg)
             S = jax.lax.psum(S_part, axis_name)
@@ -84,30 +87,37 @@ def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
     """
     step = _make_step(cfg, axis_name)
 
+    forcing = cfg.cg_forcing and cfg.cg_iterations > 0
+
     def lm_shard(problem: BAProblem):
         cost0 = _local_cost(problem, cfg.huber_delta, axis_name)
 
         def cond(state):
-            it, _, _, _, done = state
+            it, _, _, _, done, _ = state
             return (it < cfg.max_iterations) & (~done)
 
         def body(state):
-            it, prob, lam, cost, done = state
-            cand = step(prob, lam)
+            it, prob, lam, cost, done, eta = state
+            cand = step(prob, lam, tol_rel=eta if forcing else None)
             new_cost = _local_cost(cand, cfg.huber_delta, axis_name)
             accept = (new_cost < cost) & jnp.isfinite(new_cost)
             prob = jax.tree.map(lambda a, b: jnp.where(accept, b, a), prob, cand)
             lam = jnp.where(accept,
                             jnp.maximum(lam / cfg.lambda_down, cfg.min_lambda),
                             jnp.minimum(lam * cfg.lambda_up, cfg.max_lambda))
+            eta = jnp.where(accept,
+                            jnp.maximum(eta ** 1.5, cfg.cg_tol), eta)
             rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-20)
             done = accept & (rel < cfg.rtol)
             cost = jnp.where(accept, new_cost, cost)
-            return it + 1, prob, lam, cost, done
+            return it + 1, prob, lam, cost, done, eta
 
         lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
-        it, prob, lam, cost, done = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False)))
+        eta0 = jnp.asarray(cfg.cg_eta0 if forcing else cfg.cg_tol,
+                           problem.points.dtype)
+        it, prob, lam, cost, done, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False), eta0))
         info = {"initial_cost": cost0, "final_cost": cost,
                 "iterations": it, "lambda": lam, "converged": done}
         return prob, info

@@ -59,14 +59,40 @@ def test_cg_camera_solve_matches_dense(rng):
     bad = perturb(prob, rng, sig_pose=0.01, sig_pt=0.05)
     out_d, info_d = solve_lm(bad, LMConfig(max_iterations=30))
     for gather_k in (0, 600):
+        # cg_forcing off: this pins LINEAR-SOLVER path parity (exact CG vs
+        # dense Cholesky); the inexact-Newton forcing sequence deliberately
+        # takes a different (cheaper) LM trajectory and is covered by
+        # test_cg_forcing_converges
         out_c, info_c = solve_lm(bad, LMConfig(
             max_iterations=30, cg_iterations=100, cg_tol=1e-6,
-            cg_gather_k=gather_k))
+            cg_gather_k=gather_k, cg_forcing=False))
         c1 = float(info_d["final_cost"])
         c2 = float(info_c["final_cost"])
         assert abs(c1 - c2) / max(c1, 1e-9) < 0.1 or max(c1, c2) < 1e-3
         np.testing.assert_allclose(np.asarray(out_c.poses),
                                    np.asarray(out_d.poses), atol=1e-3)
+
+
+def test_cg_forcing_converges(rng):
+    """The inexact-Newton forcing sequence (loose CG tolerance early,
+    tightened on accepted steps — Agarwal et al., BAL) must reach the same
+    optimum as exact CG solves, just cheaper."""
+    scene = make_scene(rng, n_cams=12, n_pts=512)
+    prob = scene_to_problem(scene)
+    prob = prob._replace(pose_mut=jnp.ones((12,)).at[0].set(0.0),
+                         intr_mut=jnp.zeros_like(prob.intr_mut))
+    bad = perturb(prob, rng, sig_pose=0.01, sig_pt=0.05)
+    _, info_exact = solve_lm(bad, LMConfig(
+        max_iterations=40, cg_iterations=100, cg_tol=1e-6,
+        cg_forcing=False))
+    _, info_force = solve_lm(bad, LMConfig(
+        max_iterations=40, cg_iterations=100, cg_tol=1e-6,
+        cg_forcing=True))
+    c1 = float(info_exact["final_cost"])
+    c2 = float(info_force["final_cost"])
+    assert abs(c1 - c2) / max(c1, 1e-9) < 0.05 or max(c1, c2) < 1e-3, (c1, c2)
+    n_obs = int(np.asarray(bad.track_mask).sum())
+    assert np.sqrt(2.0 * c2 / n_obs) < 0.1
 
 
 @pytest.mark.slow

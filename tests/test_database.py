@@ -61,13 +61,47 @@ def test_feature_extraction_resume(image_fold):
     db = Database(image_fold, opts)
     db.feature_extraction()
     xy0 = db.features(0).xy.copy()
-    # delete one store file -> only that image is recomputed
+    # delete one store record (native or npz) -> only that image is recomputed
     from metricsfm_tpu.io import store as fstore
-    os.remove(fstore._fpath(db.out, 1))
+    for p in (fstore._fpath(db.out, 1), fstore._npath(db.out, 1)):
+        if os.path.exists(p):
+            os.remove(p)
+    assert not fstore.has_features(db.out, 1)
     db2 = Database(image_fold, opts)
     db2.feature_extraction()
     np.testing.assert_allclose(db2.features(0).xy, xy0)
     assert db2.features(1).mask.sum() > 10
+
+
+def test_native_store_pipeline_parity(image_fold):
+    """use_native_store routes the SAME records through the C++ raw store
+    (native/feature_store.cpp): pipeline reads must be bit-identical to
+    the .npz path (ref binary per-image IO, database.cc:490-541)."""
+    import shutil
+
+    from metricsfm_tpu.io import native_store, store as fstore
+    if not native_store.available():
+        pytest.skip("native toolchain unavailable")
+    opts_n = DatabaseOptions(resize=False, max_keypoints=512,
+                             use_native_store=True)
+    db_n = Database(image_fold, opts_n, output_fold=image_fold + "/out_n")
+    db_n.feature_extraction()
+    assert os.path.exists(fstore._npath(db_n.out, 0)), \
+        "native record not written"
+    opts_p = DatabaseOptions(resize=False, max_keypoints=512,
+                             use_native_store=False)
+    db_p = Database(image_fold, opts_p, output_fold=image_fold + "/out_p")
+    db_p.feature_extraction()
+    for i in range(db_n.n_images):
+        fn, fp = db_n.features(i), db_p.features(i)
+        np.testing.assert_array_equal(fn.xy.astype(np.float32),
+                                      fp.xy.astype(np.float32))
+        np.testing.assert_array_equal(fn.desc, fp.desc)
+        np.testing.assert_array_equal(fn.mask, fp.mask)
+        assert (fn.width, fn.height) == (fp.width, fp.height)
+        assert db_n.gps(i) == db_p.gps(i)
+    shutil.rmtree(db_n.out, ignore_errors=True)
+    shutil.rmtree(db_p.out, ignore_errors=True)
 
 
 def test_extraction_matches_unbatched(image_fold, rng):
