@@ -26,9 +26,14 @@ def make_sharded_matcher(mesh: Mesh, ratio_good: float = 0.6,
 
     spec = P(axis_name)
     out_spec = {"idx2": spec, "good": spec, "all": spec, "dist_sq": spec}
+    # check_vma=False: match_pair may route to a pallas_call, whose
+    # ShapeDtypeStruct outputs carry no varying-mesh-axes annotation —
+    # under the default check the shard_map trace rejects them.  The
+    # matcher is embarrassingly data-parallel (no collectives), so the
+    # varying-axis analysis has nothing to verify here anyway.
     fn = jax.shard_map(match_shard, mesh=mesh,
                        in_specs=(spec, spec, spec, spec),
-                       out_specs=out_spec)
+                       out_specs=out_spec, check_vma=False)
     return jax.jit(fn)
 
 
