@@ -281,6 +281,33 @@ def lr_consistency(disp_l, disp_r, max_diff: float = 1.0):
     return jnp.abs(disp_l - dr) <= max_diff
 
 
+def speed_of_light_mps(max_disp: int = 128, element_rate: float = 22e9,
+                       packed: bool = True) -> float:
+    """DMA speed-of-light for the fused TPU SGM path, in megapixels/s.
+
+    Pallas block DMA on this platform is ELEMENT-rate-limited (~22 G
+    elements/s for int8/int16/int32 alike — measured round 3 with
+    pure-copy kernels, see pallas/sgm_kernel.py:_kv_for), so the bound is
+    set by the number of element passes over the (H, W, D) volume.  The
+    shipped pipeline's ledger (stereo_sgm TPU path, packed int32 holding
+    two 16-bit costs per element => D/2 packed elements per pixel):
+
+      census+cost  write 1
+      horiz fwd    read cost 1, write hf 1
+      horiz bwd    read cost 1, write hb 1
+      vert fwd     read cost+hf+hb 3, write partial 1
+      vert bwd     read cost+partial 2, write WTA maps (~16/D of a pass x3)
+
+    = 11 packed-volume passes + WTA output.  Everything downstream
+    (median3 / LR check / subpixel) runs as XLA elementwise passes on
+    (H, W) maps — O(1/D) of the volume traffic.  bench.py reports shipped
+    throughput as a fraction of this bound (round-3 VERDICT next-#6).
+    """
+    units = 11.0 + 3.0 * (16.0 / max_disp)
+    elems_per_px = units * max_disp / (2.0 if packed else 1.0)
+    return element_rate / elems_per_px / 1e6
+
+
 @partial(jax.jit, static_argnames=("max_disp", "num_paths", "subpixel",
                                    "p1", "p2"))
 def stereo_sgm(left, right, max_disp: int = 128, p1: int = 10,
