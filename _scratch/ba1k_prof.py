@@ -3,6 +3,8 @@
 Times, separately jitted: full LM step, _track_terms (linearization),
 CG solve at several iteration counts, cost evaluation.
 """
+import sys
+sys.path.insert(0, "/root/repo")
 import time
 
 import jax
@@ -12,7 +14,7 @@ import numpy as np
 from metricsfm_tpu.ba.lm import (LMConfig, _assemble_and_solve,
                                  _assemble_and_solve_cg, _track_terms,
                                  _gps_prior_blocks, _cg_solve,
-                                 problem_cost, resolve_gather_k)
+                                 problem_cost)
 from metricsfm_tpu.utils import synth
 from metricsfm_tpu.utils.cache import enable_compilation_cache
 
@@ -20,7 +22,7 @@ enable_compilation_cache()
 
 prob = synth.synthetic_ba_problem(n_cams=1024, n_pts=131072, max_views=6,
                                   seed=0)
-cfg = resolve_gather_k(prob, LMConfig(cg_iterations=50, cg_tol=1e-4))
+cfg = LMConfig(cg_iterations=50, cg_tol=1e-4)
 lam = jnp.float32(1e-3)
 
 

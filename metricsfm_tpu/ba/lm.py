@@ -63,15 +63,6 @@ class LMConfig(NamedTuple):
     # the while_loop'd CG exits early at loose tolerances.
     cg_forcing: bool = True
     cg_eta0: float = 0.25
-    # per-camera gather width for the CG matvec reduction: when > 0, the
-    # per-view contributions are summed by a (C, K) gather table (one
-    # argsort per solve, ~20x less HBM than one-hot matmuls / scatter).
-    # -1 (default) = auto: solve_lm computes the max slot count of any
-    # camera from the problem at call time; an explicit K smaller than
-    # that is rejected (it would silently drop matvec terms).  0 falls
-    # back to segment_sum (slow but K-free; the only choice under a
-    # tracer where auto cannot inspect the ids).
-    cg_gather_k: int = -1
 
 
 def _residual_one(pose, intr, point, uv):
@@ -335,13 +326,21 @@ def partial_camera_system(problem: BAProblem, lam, cfg: LMConfig):
     rhs = -g_cam + jnp.concatenate([corr_pose.reshape(-1),
                                     corr_intr.reshape(-1)])
 
-    # dof index map per view (for back-substitution gathers)
-    dof_pose = 6 * cam[..., None] + jnp.arange(6)[None, None, :]       # (P,V,6)
-    dof_intr = 6 * C + 3 * model[..., None] + jnp.arange(3)[None, None, :]
-    dofs = jnp.concatenate([dof_pose, dof_intr], axis=-1)              # (P,V,9)
-
-    aux = {"Hpp_inv": Hpp_inv, "W": W, "dofs": dofs, "g_pt": g_pt}
+    aux = _lane_major_aux(W, Hpp_inv, cam, g_pt)
     return S, rhs, aux
+
+
+def _lane_major_aux(W, Hpp_inv, cam, g_pt):
+    """Back-substitution tensors in LANE-MAJOR layout: the big slot axis
+    (P, or V*P flattened) goes LAST so it lands on the 128-wide vector
+    lanes; the tiny 9/3 dims become leading (cheap) axes.  The previous
+    (P,V,9)-trailing layout put the tiny dims on lanes/sublanes and paid
+    up to ~50x padding bandwidth on every op (measured 16 ms/matvec at
+    1,024 cams / 131k pts; lane-major: 5.5 ms)."""
+    return {"WT": jnp.transpose(W, (2, 3, 1, 0)),          # (9,3,V,P)
+            "HiT": jnp.transpose(Hpp_inv, (1, 2, 0)),      # (3,3,P)
+            "camT": jnp.transpose(cam, (1, 0)),            # (V,P)
+            "g_ptT": jnp.transpose(g_pt, (1, 0))}          # (3,P)
 
 
 def solve_reduced(S, rhs, problem: BAProblem, lam, cfg: LMConfig):
@@ -415,11 +414,24 @@ def solve_reduced(S, rhs, problem: BAProblem, lam, cfg: LMConfig):
 
 
 def backsub_points(aux, d_cam, problem: BAProblem):
-    """Local point back-substitution: d_pt = -Hpp_inv (g_pt + E^T d_cam)."""
-    W, dofs, Hpp_inv, g_pt = aux["W"], aux["dofs"], aux["Hpp_inv"], aux["g_pt"]
-    dc_views = d_cam[dofs]                               # (P,V,9)
-    Et_dc = jnp.einsum("pvij,pvi->pj", W, dc_views)      # (P,3)
-    d_pt = -jnp.einsum("pij,pj->pi", Hpp_inv, g_pt + Et_dc)
+    """Local point back-substitution: d_pt = -Hpp_inv (g_pt + E^T d_cam).
+
+    Lane-major: one (C,9)-table row gather per slot replaces the old
+    d_cam[dofs] scalar gather (a (P,V,9) scatter-gather that measured
+    ~70 ms alone at 131k points), and the 9x3 / 3x3 contractions are
+    unrolled FMAs over the P lanes."""
+    WT, HiT, camT, g_ptT = (aux["WT"], aux["HiT"], aux["camT"],
+                            aux["g_ptT"])
+    C, M = problem.n_cameras, problem.n_models
+    dp = d_cam[:6 * C].reshape(C, 6)
+    di = d_cam[6 * C:].reshape(M, 3)
+    d9 = jnp.concatenate([dp, di[problem.cam_model]], axis=1)   # (C,9)
+    dc = jnp.take(d9.T, camT, axis=1)                           # (9,V,P)
+    Et = [sum((WT[i, k] * dc[i]).sum(0) for i in range(9))
+          for k in range(3)]                                    # 3 x (P,)
+    rhs3 = [g_ptT[k] + Et[k] for k in range(3)]
+    d_pt = -jnp.stack([sum(HiT[i, j] * rhs3[j] for j in range(3))
+                       for i in range(3)], axis=1)              # (P,3)
     return d_pt * problem.point_mut[:, None]
 
 
@@ -497,10 +509,6 @@ def _track_terms(problem: BAProblem, lam, cfg: LMConfig):
     rhs_intr = _chunked_reduce(rv[..., 6:], model, M, cfg.cg_chunk)
     rhs = jnp.concatenate([rhs_pose.reshape(-1), rhs_intr.reshape(-1)])
 
-    dof_pose = 6 * cam[..., None] + jnp.arange(6)[None, None, :]
-    dof_intr = 6 * C + 3 * model[..., None] + jnp.arange(3)[None, None, :]
-    dofs = jnp.concatenate([dof_pose, dof_intr], axis=-1)
-
     # diagonal + block-Jacobi pieces of S (Hcc minus Schur part, per view)
     Lp = _chol3x3(Hpp_inv)
     U = jnp.einsum("pvij,pjk->pvik", W, Lp)              # (P,V,9,3)
@@ -513,10 +521,11 @@ def _track_terms(problem: BAProblem, lam, cfg: LMConfig):
         blk_view[:, :, 6:, 6:].reshape(*cam.shape, 9), model, M,
         cfg.cg_chunk).reshape(M, 3, 3)
 
-    aux = {"Hpp_inv": Hpp_inv, "W": W, "dofs": dofs, "g_pt": g_pt}
-    terms = {"Jc": Jc, "W": W, "Hpp_inv": Hpp_inv, "dofs": dofs,
-             "cam": cam, "model": model, "blk_pose": blk_pose,
-             "blk_intr": blk_intr}
+    aux = _lane_major_aux(W, Hpp_inv, cam, g_pt)
+    terms = {"JcT": jnp.transpose(Jc, (2, 3, 1, 0)),     # (2,9,V,P)
+             "WT": aux["WT"], "HiT": aux["HiT"], "camT": aux["camT"],
+             "maskT": jnp.transpose(problem.track_mask, (1, 0)),
+             "blk_pose": blk_pose, "blk_intr": blk_intr}
     return terms, rhs, aux
 
 
@@ -562,26 +571,13 @@ def _gps_prior_blocks(problem: BAProblem):
     return Hg, Ht, rhs_extra
 
 
-def _gather_table(ids, n: int, K: int):
-    """(n, K) gather table: table[c, :count(c)] = flat indices with
-    ids == c; remaining entries point at a sentinel (zero) row len(ids)."""
-    PV = ids.shape[0]
-    order = jnp.argsort(ids)
-    s = ids[order]
-    starts = jnp.searchsorted(s, jnp.arange(n))
-    ends = jnp.searchsorted(s, jnp.arange(n) + 1)
-    pos = starts[:, None] + jnp.arange(K)[None, :]
-    valid = pos < ends[:, None]
-    return jnp.where(valid, order[jnp.clip(pos, 0, PV - 1)], PV)
-
-
 def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
               axis_name=None, tol_rel=None):
     """Block-Jacobi PCG on the damped, freeze-masked reduced system.
 
     With `axis_name` set (inside shard_map over a track shard), the only
     communication is ONE psum of the (D,) track-term matvec partial per CG
-    iteration: per-track terms are shard-local, `reduce_cam`/`reduce_mod`
+    iteration: per-track terms are shard-local, the one-hot reduction
     partials are additive, and the camera-indexed GPS/prior/damping terms
     are replicated so each shard adds them to its post-psum copy
     identically.  `rhs` and the preconditioner blocks must already be
@@ -606,55 +602,67 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
         jax.vmap(jnp.diag)(blk_intr).reshape(-1)]) + tdiag
     dampv = lam * jnp.maximum(diag_s, 1e-12) + 1e-10
 
-    Jc, W, Hpp_inv, dofs = (terms["Jc"], terms["W"], terms["Hpp_inv"],
-                            terms["dofs"])
-    cam, model = terms["cam"], terms["model"]
+    JcT, WT, HiT = terms["JcT"], terms["WT"], terms["HiT"]
+    camT, maskT = terms["camT"], terms["maskT"]
+    cam_model = problem.cam_model
     gps_triple = problem.gps_triple
 
-    camf = cam.reshape(-1)
-    if cfg.cg_gather_k > 0:
-        # masked slots contribute exactly zero to the matvec (their J/W
-        # rows are mask-scaled to 0), so route them to the sentinel bin C:
-        # they drop out of the gather table and K only needs to cover REAL
-        # observations.  (Padded tracks all point at camera 0 — counting
-        # them once ballooned K to the total padded-slot count and the
-        # (C, K, 6) gather to gigabytes.)
-        camf_eff = jnp.where(problem.track_mask.reshape(-1), camf, C)
-        idx_c = _gather_table(camf_eff, C, cfg.cg_gather_k)
+    # slot -> camera ids in v-major flat order; masked slots route to the
+    # sentinel bin C (their J/W rows are mask-scaled to 0 anyway), so they
+    # drop out of the one-hot reduction exactly
+    camf_eff = jnp.where(maskT, camT, C).reshape(-1)
+    PV = camf_eff.shape[0]
+    CH = min(32768, max(128, 1 << (PV - 1).bit_length()))
+    padn = (-PV) % CH
+    ids2d = jnp.pad(camf_eff, (0, padn),
+                    constant_values=C).reshape(-1, CH)
 
-        def reduce_cam(zf):
-            zpad = jnp.concatenate(
-                [zf, jnp.zeros((1, zf.shape[1]), zf.dtype)])
-            return jnp.sum(zpad[idx_c], axis=1)
-    else:
-        def reduce_cam(zf):
-            return jax.ops.segment_sum(zf, camf, C)
+    def reduce_cam9(z9):
+        """sum slots into camera bins: (9,V,P) -> (9,C) via chunked one-hot
+        matmuls on the MXU (f32: the CG direction is precision-sensitive;
+        at HIGHEST the reduction is exact to ~1e-7 and costs ~10% more
+        than bf16).  Scatter/segment ops measured >100x slower on TPU;
+        the (C,K) gather-table this replaces was 1.8 ms/matvec slower and
+        needed host-side K validation to not silently drop terms."""
+        zf = z9.reshape(9, PV)
+        if padn:
+            zf = jnp.pad(zf, ((0, 0), (0, padn)))
+        zst = jnp.moveaxis(zf.reshape(9, -1, CH), 1, 0)   # (nch,9,CH)
 
-    def reduce_mod(zf):
-        # model ids are a function of the camera id, so reduce per camera
-        # first (the wide axis, gather-table fast path) then fold the C
-        # rows into M model bins — a per-model gather table would need
-        # K = max slots per MODEL, which explodes when cameras share one
-        # model (and silently dropped terms before this fix)
-        return jax.ops.segment_sum(reduce_cam(zf), problem.cam_model, M)
+        def body(acc, sl):
+            zch, idc = sl
+            oh = (idc[:, None] == jnp.arange(C)[None, :]).astype(zf.dtype)
+            return acc + jnp.dot(zch, oh,
+                                 precision=jax.lax.Precision.HIGHEST), None
+        # `+ 0 * zf[...]` marks the carry shard-varying under shard_map
+        acc0 = jnp.zeros((9, C), zf.dtype) + 0.0 * zf.reshape(-1)[0]
+        out, _ = jax.lax.scan(body, acc0, (zst, ids2d))
+        return out
 
     def matvec(x):
         xm = x * free
-        # row gathers (poses[cam]-style), NOT xm[dofs]: a (P,V,9) scalar-
-        # index gather measured ~70 ms/matvec at 131k pts — the dof layout
-        # is contiguous 6-blocks per camera / 3-blocks per model
         xp = xm[:6 * C].reshape(C, 6)
         xi = xm[6 * C:].reshape(M, 3)
-        xv = jnp.concatenate([xp[cam], xi[model]], axis=-1)   # (P,V,9)
-        t = jnp.einsum("pvrj,pvj->pvr", Jc, xv)
-        u = jnp.einsum("pvri,pvr->pvi", Jc, t)           # Hcc x per view
-        a = jnp.einsum("pvij,pvi->pj", W, xv)
-        b = jnp.einsum("pij,pj->pi", Hpp_inv, a)
-        c = jnp.einsum("pvij,pj->pvi", W, b)
-        z = (u - c).reshape(-1, 9)
-        zp = reduce_cam(z[:, :6])
-        zi = reduce_mod(z[:, 6:])
-        Sx = jnp.concatenate([zp.reshape(-1), zi.reshape(-1)])
+        x9 = jnp.concatenate([xp, xi[cam_model]], axis=1)     # (C,9)
+        xv = jnp.take(x9.T, camT, axis=1)                     # (9,V,P)
+        # unrolled lane-major contractions: every op below is an FMA over
+        # the (V,P) lanes — no tiny-dim einsums (those paid ~50x layout
+        # padding; see _lane_major_aux)
+        xvf = [xv[j] for j in range(9)]
+        t = [sum(JcT[r, j] * xvf[j] for j in range(9)) for r in range(2)]
+        u = [sum(JcT[r, i] * t[r] for r in range(2)) for i in range(9)]
+        a3 = [sum((WT[i, k] * xvf[i]).sum(0) for i in range(9))
+              for k in range(3)]                              # 3 x (P,)
+        b3 = [sum(HiT[j, k] * a3[k] for k in range(3)) for j in range(3)]
+        c9 = [sum(WT[i, k] * b3[k][None, :] for k in range(3))
+              for i in range(9)]
+        z9 = jnp.stack([u[i] - c9[i] for i in range(9)])      # (9,V,P)
+        zc = reduce_cam9(z9)                                  # (9,C)
+        zp = zc[:6].T.reshape(-1)
+        # model ids are a function of the camera id: fold the C camera
+        # rows into M model bins (tiny segment_sum over C rows)
+        zi = jax.ops.segment_sum(zc[6:].T, cam_model, M).reshape(-1)
+        Sx = jnp.concatenate([zp, zi])
         if axis_name is not None:
             # the one collective per CG iteration: complete the
             # track-term partial over the shard axis
@@ -762,50 +770,13 @@ def _apply_step(problem: BAProblem, d_pose, d_intr, d_pt):
     )
 
 
-def required_gather_k(problem: BAProblem) -> int:
-    """Smallest valid cg_gather_k for `problem`: the max number of VALID
-    (P, V) track slots referencing any single camera id.  Masked slots are
-    excluded — the matvec routes them to a sentinel bin (their
-    contributions are exactly zero)."""
-    import numpy as np
-    camf = np.asarray(problem.track_cam).reshape(-1)
-    valid = np.asarray(problem.track_mask).reshape(-1)
-    cnt = np.bincount(camf[valid], minlength=problem.n_cameras)
-    return max(int(cnt.max()) if cnt.size else 1, 1)
-
-
-def resolve_gather_k(problem: BAProblem, cfg: LMConfig) -> LMConfig:
-    """Validate / auto-compute cg_gather_k (host-side, pre-jit).
-
-    A K below the per-camera slot maximum makes the CG matvec silently
-    drop terms (wrong gradients, no error) — reject it.  K < 0 means
-    auto.  Under a tracer the ids cannot be inspected: auto falls back to
-    the K-free segment_sum path, an explicit K is trusted.
-    """
-    if cfg.cg_iterations <= 0 or cfg.cg_gather_k == 0:
-        return cfg
-    if isinstance(problem.track_cam, jax.core.Tracer):
-        if cfg.cg_gather_k < 0:
-            return cfg._replace(cg_gather_k=0)
-        return cfg
-    k_req = required_gather_k(problem)
-    if cfg.cg_gather_k < 0:
-        return cfg._replace(cg_gather_k=k_req)
-    if cfg.cg_gather_k < k_req:
-        raise ValueError(
-            f"cg_gather_k={cfg.cg_gather_k} < {k_req} (max track slots of "
-            f"one camera): the CG matvec would silently drop terms. Use "
-            f"cg_gather_k=-1 for auto or >= {k_req}.")
-    return cfg
-
-
 def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
     """Run LM to convergence (jitted; fixed upper bound cfg.max_iterations).
 
     Returns (problem, info dict) where info carries final cost, iterations
     used, and final lambda.
     """
-    return _solve_lm_jit(problem, resolve_gather_k(problem, cfg))
+    return _solve_lm_jit(problem, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -79,7 +79,6 @@ class BundleAdjustOptions:
     cg_iterations: int = -1
     cg_auto_iterations: int = 100       # PCG cap used by the auto mode
     cg_tol: float = 1e-5
-    cg_gather_k: int = -1               # -1 = auto (computed per problem)
     # inexact-Newton forcing sequence (Agarwal et al., "Bundle Adjustment
     # in the Large"): start the PCG at a loose relative tolerance and
     # tighten it each accepted LM step down to cg_tol — early LM steps

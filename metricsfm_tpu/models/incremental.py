@@ -88,7 +88,6 @@ class IncrementalSfM:
             init_lambda=self.cfg.ba.init_lambda,
             cg_iterations=0,
             cg_tol=self.cfg.ba.cg_tol,
-            cg_gather_k=self.cfg.ba.cg_gather_k,
             cg_forcing=self.cfg.ba.cg_forcing,
         )
         # solver-path counters (observability + tests assert the CG path

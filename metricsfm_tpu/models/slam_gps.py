@@ -638,8 +638,7 @@ class SLAMGPS:
         lm_cfg = LMConfig(max_iterations=self.cfg.ba.max_iterations,
                           huber_delta=self.cfg.ba.huber_delta,
                           cg_iterations=self.cfg.ba.cg_iterations,
-                          cg_tol=self.cfg.ba.cg_tol,
-                          cg_gather_k=self.cfg.ba.cg_gather_k)
+                          cg_tol=self.cfg.ba.cg_tol)
         prob, info = solve_lm(prob, lm_cfg)
         scene.update_from_ba(prob, maps)
         return info

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ba.lm import (LMConfig, _assemble_and_solve_cg, backsub_points,
                      gps_residuals, gps_triple_residuals,
                      partial_camera_system, pose_prior_residuals,
-                     resolve_gather_k, robust_cost, solve_reduced,
+                     robust_cost, solve_reduced,
                      compute_residuals)
 from ..ba.problem import BAProblem
 
@@ -141,14 +141,8 @@ def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
 
 def solve_lm_sharded(problem: BAProblem, mesh: Mesh,
                      cfg: LMConfig = LMConfig(), axis_name: str = "data"):
-    """Convenience wrapper: shard tracks, run, return gathered problem.
-
-    Resolves cg_gather_k host-side from the full problem (the global
-    per-camera slot maximum bounds every shard's, so the per-shard gather
-    tables are always wide enough).
-    """
+    """Convenience wrapper: shard tracks, run, return gathered problem."""
     from .mesh import shard_tracks
-    cfg = resolve_gather_k(problem, cfg)
     sharded = shard_tracks(problem, mesh, axis_name)
     solver = make_sharded_lm(mesh, cfg, axis_name)
     out, info = solver(sharded)

@@ -58,19 +58,18 @@ def test_cg_camera_solve_matches_dense(rng):
                          intr_mut=jnp.zeros_like(prob.intr_mut))
     bad = perturb(prob, rng, sig_pose=0.01, sig_pt=0.05)
     out_d, info_d = solve_lm(bad, LMConfig(max_iterations=30))
-    for gather_k in (0, 600):
-        # cg_forcing off: this pins LINEAR-SOLVER path parity (exact CG vs
-        # dense Cholesky); the inexact-Newton forcing sequence deliberately
-        # takes a different (cheaper) LM trajectory and is covered by
-        # test_cg_forcing_converges
-        out_c, info_c = solve_lm(bad, LMConfig(
-            max_iterations=30, cg_iterations=100, cg_tol=1e-6,
-            cg_gather_k=gather_k, cg_forcing=False))
-        c1 = float(info_d["final_cost"])
-        c2 = float(info_c["final_cost"])
-        assert abs(c1 - c2) / max(c1, 1e-9) < 0.1 or max(c1, c2) < 1e-3
-        np.testing.assert_allclose(np.asarray(out_c.poses),
-                                   np.asarray(out_d.poses), atol=1e-3)
+    # cg_forcing off: this pins LINEAR-SOLVER path parity (exact CG vs
+    # dense Cholesky); the inexact-Newton forcing sequence deliberately
+    # takes a different (cheaper) LM trajectory and is covered by
+    # test_cg_forcing_converges
+    out_c, info_c = solve_lm(bad, LMConfig(
+        max_iterations=30, cg_iterations=100, cg_tol=1e-6,
+        cg_forcing=False))
+    c1 = float(info_d["final_cost"])
+    c2 = float(info_c["final_cost"])
+    assert abs(c1 - c2) / max(c1, 1e-9) < 0.1 or max(c1, c2) < 1e-3
+    np.testing.assert_allclose(np.asarray(out_c.poses),
+                               np.asarray(out_d.poses), atol=1e-3)
 
 
 def test_cg_forcing_converges(rng):
@@ -164,16 +163,18 @@ def test_hierarchical_ba_1k_cameras(rng):
     extent = 16.0   # arc diameter at depth 8
     assert np.median(err) / extent < 0.02, np.median(err)
 
-def test_required_gather_k_ignores_masked_slots(rng):
-    """Padded tracks/slots all point at camera 0; counting them once blew
-    the auto-K (and the (C, K, 6) matvec gather) to the padded-slot count
-    — 6.7 GB at 200 cams.  K must cover only REAL observations."""
+def test_cg_masked_slots_excluded(rng):
+    """Padded tracks/slots all point at camera 0 with garbage uv; the CG
+    matvec's one-hot reduction must route them to the sentinel bin so the
+    heavily-padded problem solves to the same answer as a dense solve on
+    the same (mask-weighted) residuals."""
     from metricsfm_tpu.ba import problem as ba_problem
-    from metricsfm_tpu.ba.lm import required_gather_k
     C, P, V = 8, 64, 6
     track_cam = np.zeros((P, V), np.int32)
     track_mask = np.zeros((P, V), bool)
-    # 10 live tracks, 2 views each, spread over cameras 1..4
+    # 10 live tracks, 2 views each, spread over cameras 1..4; everything
+    # else is a masked slot aimed at camera 0 with nonsense observations
+    track_uv = rng.normal(size=(P, V, 2)) * 1e3
     for p in range(10):
         track_cam[p, 0] = 1 + p % 4
         track_cam[p, 1] = 1 + (p + 1) % 4
@@ -181,10 +182,12 @@ def test_required_gather_k_ignores_masked_slots(rng):
     prob = ba_problem.build_problem(
         np.zeros((C, 6)), np.tile([[100.0, 0, 0]], (C, 1)), np.arange(C),
         rng.normal(size=(P, 3)), track_cam,
-        np.zeros((P, V, 2)), track_mask)
-    k = required_gather_k(prob)
-    assert k == 6, k     # camera ids 1..4 each carry 5-6 real slots
-    # and the CG solve runs with that K (no masked-slot overflow)
-    out, info = solve_lm(prob, LMConfig(max_iterations=2, cg_iterations=5,
-                                        cg_gather_k=k))
-    assert np.isfinite(float(info["final_cost"]))
+        track_uv, track_mask)
+    out_c, info_c = solve_lm(prob, LMConfig(max_iterations=4,
+                                            cg_iterations=30, cg_tol=1e-8,
+                                            cg_forcing=False))
+    out_d, info_d = solve_lm(prob, LMConfig(max_iterations=4))
+    c1, c2 = float(info_c["final_cost"]), float(info_d["final_cost"])
+    assert np.isfinite(c1)
+    assert abs(c1 - c2) / max(abs(c2), 1e-9) < 0.05 or max(c1, c2) < 1e-6, \
+        (c1, c2)
