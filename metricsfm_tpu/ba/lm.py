@@ -63,6 +63,11 @@ class LMConfig(NamedTuple):
     # the while_loop'd CG exits early at loose tolerances.
     cg_forcing: bool = True
     cg_eta0: float = 0.25
+    # LM iterations per device execution: solve_lm dispatches the while-
+    # loop in host chunks of this size so no single XLA execution runs
+    # for minutes (the TPU transport enforces a per-call deadline; one
+    # 100x100 LM-CG solve at 1k cameras blew it and took the worker down)
+    host_chunk: int = 8
 
 
 def _residual_one(pose, intr, point, uv):
@@ -773,20 +778,62 @@ def _apply_step(problem: BAProblem, d_pose, d_intr, d_pt):
 def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
     """Run LM to convergence (jitted; fixed upper bound cfg.max_iterations).
 
+    The device work is HOST-CHUNKED: each jitted call runs at most
+    cfg.host_chunk LM iterations, and the host loops (carrying lam / cost
+    / forcing-eta across chunks) until convergence or the iteration cap.
+    A 100-LM-iteration CG solve at the 1k-camera scale is minutes of
+    device time — as ONE XLA execution it exceeded the TPU transport's
+    per-call deadline and took the worker down; chunking bounds every
+    execution to a few seconds and costs one host round-trip per chunk.
+
     Returns (problem, info dict) where info carries final cost, iterations
     used, and final lambda.
     """
-    return _solve_lm_jit(problem, cfg)
+    if isinstance(jax.tree.leaves(problem)[0], jax.core.Tracer):
+        # called under jit/vmap (e.g. the batched submap solves): the host
+        # cannot observe per-chunk convergence, so run the one-shot body —
+        # those callers bound max_iterations themselves
+        return _solve_lm_jit(problem, cfg)
+    chunk = max(1, min(cfg.host_chunk, cfg.max_iterations))
+    state = None
+    total_it = 0
+    initial_cost = None
+    while total_it < cfg.max_iterations:
+        # the per-chunk cap is a TRACED scalar so the tail chunk reuses
+        # the same executable instead of compiling a second variant
+        n = min(chunk, cfg.max_iterations - total_it)
+        problem, info, state = _solve_lm_chunk(
+            problem, cfg._replace(max_iterations=chunk), state,
+            jnp.int32(n))
+        total_it += int(info["iterations"])
+        if initial_cost is None:
+            initial_cost = info["initial_cost"]
+        if bool(info["converged"]) or int(info["iterations"]) < n:
+            break
+    info = dict(info)
+    info["iterations"] = jnp.asarray(total_it)
+    info["initial_cost"] = initial_cost
+    return problem, info
+
+
+def _solve_lm_jit(problem: BAProblem, cfg: LMConfig = LMConfig()):
+    """One-shot (unchunked) solve — the building block solve_lm loops."""
+    problem, info, _ = _solve_lm_chunk(problem, cfg, None,
+                                       jnp.int32(cfg.max_iterations))
+    return problem, info
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _solve_lm_jit(problem: BAProblem, cfg: LMConfig = LMConfig()):
+def _solve_lm_chunk(problem: BAProblem, cfg: LMConfig, state, n_its):
+    """Up to n_its (traced; <= cfg.max_iterations) LM iterations from
+    `state` (None = fresh: lambda/eta from cfg, cost evaluated here).
+    Returns (problem, info, carry) where carry re-enters the next chunk."""
     cost0 = problem_cost(problem, cfg.huber_delta)
     forcing = cfg.cg_forcing and cfg.cg_iterations > 0
 
     def cond(state):
         it, _, _, _, done, _ = state
-        return (it < cfg.max_iterations) & (~done)
+        return (it < n_its) & (~done)
 
     def body(state):
         it, prob, lam, cost, done, eta = state
@@ -807,14 +854,18 @@ def _solve_lm_jit(problem: BAProblem, cfg: LMConfig = LMConfig()):
         cost = jnp.where(accept, new_cost, cost)
         return it + 1, prob, lam, cost, done, eta
 
-    lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
-    eta0 = jnp.asarray(cfg.cg_eta0 if forcing else cfg.cg_tol,
-                       problem.points.dtype)
-    it, prob, lam, cost, done, _ = jax.lax.while_loop(
+    if state is None:
+        lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
+        eta0 = jnp.asarray(cfg.cg_eta0 if forcing else cfg.cg_tol,
+                           problem.points.dtype)
+        cost_in = cost0
+    else:
+        lam0, eta0, cost_in = state
+    it, prob, lam, cost, done, eta = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False), eta0))
+        (jnp.int32(0), problem, lam0, cost_in, jnp.bool_(False), eta0))
     n_obs = problem.n_observations()
     info = {"initial_cost": cost0, "final_cost": cost, "iterations": it,
             "lambda": lam, "converged": done,
             "rms_px": jnp.sqrt(2.0 * cost / jnp.maximum(n_obs, 1))}
-    return prob, info
+    return prob, info, (lam, eta, cost)

@@ -63,7 +63,11 @@ class BundleAdjustOptions:
     lambda_down: float = 2.0
     min_lambda: float = 1e-10
     max_lambda: float = 1e8
-    rtol: float = 1e-8                  # relative cost decrease for convergence
+    # relative cost decrease for convergence; 1e-6 = the Ceres
+    # function_tolerance default the reference solves with (optimizer.cc
+    # leaves it unset) — tighter values just burn full-budget LM runs on
+    # cost noise below f32 resolution
+    rtol: float = 1e-6
     # seed-run preprocessing (ref optimizer.cc:155-232)
     normalize_scale: float = 100.0      # recentre + scale median abs deviation to this
     perturb_sigma_rot: float = 0.1

@@ -86,6 +86,7 @@ class IncrementalSfM:
             max_iterations=self.cfg.ba.max_iterations,
             huber_delta=self.cfg.ba.huber_delta,
             init_lambda=self.cfg.ba.init_lambda,
+            rtol=self.cfg.ba.rtol,
             cg_iterations=0,
             cg_tol=self.cfg.ba.cg_tol,
             cg_forcing=self.cfg.ba.cg_forcing,

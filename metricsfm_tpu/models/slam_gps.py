@@ -637,6 +637,7 @@ class SLAMGPS:
                 gps_triple_weight=jnp.asarray(tw, jnp.float32))
         lm_cfg = LMConfig(max_iterations=self.cfg.ba.max_iterations,
                           huber_delta=self.cfg.ba.huber_delta,
+                          rtol=self.cfg.ba.rtol,
                           cg_iterations=self.cfg.ba.cg_iterations,
                           cg_tol=self.cfg.ba.cg_tol)
         prob, info = solve_lm(prob, lm_cfg)
