@@ -794,6 +794,15 @@ def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
         # cannot observe per-chunk convergence, so run the one-shot body —
         # those callers bound max_iterations themselves
         return _solve_lm_jit(problem, cfg)
+    if cfg.max_iterations <= 0:
+        # 0-iteration solve: still return a valid info dict (cost of the
+        # input problem, 0 iterations) — the host while-loop below would
+        # never bind `info` (ADVICE r4)
+        problem, info, _ = _solve_lm_chunk(
+            problem, cfg._replace(max_iterations=1), None, jnp.int32(0))
+        info = dict(info)
+        info["iterations"] = jnp.asarray(0)
+        return problem, info
     chunk = max(1, min(cfg.host_chunk, cfg.max_iterations))
     state = None
     total_it = 0
@@ -827,8 +836,13 @@ def _solve_lm_jit(problem: BAProblem, cfg: LMConfig = LMConfig()):
 def _solve_lm_chunk(problem: BAProblem, cfg: LMConfig, state, n_its):
     """Up to n_its (traced; <= cfg.max_iterations) LM iterations from
     `state` (None = fresh: lambda/eta from cfg, cost evaluated here).
-    Returns (problem, info, carry) where carry re-enters the next chunk."""
-    cost0 = problem_cost(problem, cfg.huber_delta)
+    Returns (problem, info, carry) where carry re-enters the next chunk.
+
+    The full residual/cost pass runs only on the FIRST chunk (state is
+    None — a static branch: the state pytree shape differs, so the two
+    variants compile separately); continuation chunks re-enter with the
+    carried accepted cost instead of paying a redundant evaluation per
+    host_chunk iterations (ADVICE r4)."""
     forcing = cfg.cg_forcing and cfg.cg_iterations > 0
 
     def cond(state):
@@ -855,12 +869,14 @@ def _solve_lm_chunk(problem: BAProblem, cfg: LMConfig, state, n_its):
         return it + 1, prob, lam, cost, done, eta
 
     if state is None:
+        cost0 = problem_cost(problem, cfg.huber_delta)
         lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
         eta0 = jnp.asarray(cfg.cg_eta0 if forcing else cfg.cg_tol,
                            problem.points.dtype)
         cost_in = cost0
     else:
         lam0, eta0, cost_in = state
+        cost0 = cost_in
     it, prob, lam, cost, done, eta = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), problem, lam0, cost_in, jnp.bool_(False), eta0))

@@ -54,7 +54,12 @@ def _kernel(q_ref, db_ref, mask_ref, out_ref):
     # of unit descriptors (sim in [-1, 1]) without overflowing int32
     sim = jnp.where(mask_ref[:] > 0, sim, -1.9)
     cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    pk = (sim * _VAL_SCALE).astype(jnp.int32) * (1 << _COL_BITS) + cols
+    # fused packing: one scaled cast + mask/or instead of cast+mul+add
+    # (round-5 sweep: 10.3k vs 10.0k pairs/s at tile=2048; the truncate-
+    # then-mask keeps the value bits identical to the mul+add form for
+    # sim in [-1.9, 1] because the cast itself truncates toward zero)
+    pk = ((sim * (_VAL_SCALE * (1 << _COL_BITS))).astype(jnp.int32)
+          & jnp.int32(~_COL_MASK)) | cols
     m1 = jnp.max(pk, axis=1)
     # packed values are unique (distinct col ids in the low bits), so value
     # equality identifies exactly the argmax slot — one op cheaper than
@@ -87,6 +92,16 @@ def _knn2_pallas_impl(desc1, desc2, mask2=None, tile: int = 512,
         vs bf16_full 9.9k); fp8 dots fail to compile.  The int8 kernel
         below is kept for TPU generations whose Mosaic lowers s8 dots to
         the double-rate MXU path.
+      * software pipelining REGRESSES on this Mosaic (round-5 measured,
+        _scratch/match_pipelined.py): the double-buffered VMEM-scratch
+        variant that issues tile i's dot and tile i-1's epilogue in the
+        same "arbitrary" grid step lands at 7.2-7.5k pairs/s vs 9.7-10.0k
+        for this kernel — Mosaic serializes the scratch epilogue with the
+        next dot instead of overlapping MXU/VPU, so the extra buffering
+        is pure cost.  With the epilogue inline (~20%) the kernel's own
+        matmul-only bound is 12.7k pairs/s at this (4096, 4096, 128)
+        shape; remaining tuning headroom is the epilogue op count
+        (_scratch/match_epilogue_tune.py: fused and/or packing +3%).
     """
     N1, D = desc1.shape
     N2 = desc2.shape[0]

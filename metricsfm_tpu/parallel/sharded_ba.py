@@ -80,21 +80,34 @@ def _make_step(cfg: LMConfig, axis_name: str):
 
 def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
                     axis_name: str = "data"):
-    """Build the jitted sharded LM solver for a given mesh.
+    """Build the HOST-CHUNKED sharded LM solver for a given mesh.
 
     Returns solve(problem) -> (problem, info); `problem`'s track arrays must
     be sharded over `axis_name` (see parallel.mesh.shard_tracks).
+
+    Like ba.lm.solve_lm, each XLA execution runs at most cfg.host_chunk LM
+    iterations and the host carries (lam, eta, cost) across chunks — the
+    TPU transport's per-call deadline killed a worker on one unchunked
+    100-iteration 1k-camera solve (lm.py:66-70), and the multi-chip path
+    is exactly the scale where that bites (ADVICE r4, medium).
     """
     step = _make_step(cfg, axis_name)
 
     forcing = cfg.cg_forcing and cfg.cg_iterations > 0
 
-    def lm_shard(problem: BAProblem):
-        cost0 = _local_cost(problem, cfg.huber_delta, axis_name)
+    def lm_chunk(problem: BAProblem, lam0, eta0, cost_in, n_its):
+        """Up to n_its LM iterations from carried (lam, eta, cost).
+        cost_in < 0 signals a fresh solve: evaluate the initial cost here
+        (one residual pass on the first chunk only)."""
+        fresh = cost_in < 0
+        cost0 = jax.lax.cond(
+            fresh,
+            lambda: _local_cost(problem, cfg.huber_delta, axis_name),
+            lambda: cost_in)
 
         def cond(state):
             it, _, _, _, done, _ = state
-            return (it < cfg.max_iterations) & (~done)
+            return (it < n_its) & (~done)
 
         def body(state):
             it, prob, lam, cost, done, eta = state
@@ -112,15 +125,12 @@ def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
             cost = jnp.where(accept, new_cost, cost)
             return it + 1, prob, lam, cost, done, eta
 
-        lam0 = jnp.asarray(cfg.init_lambda, problem.points.dtype)
-        eta0 = jnp.asarray(cfg.cg_eta0 if forcing else cfg.cg_tol,
-                           problem.points.dtype)
-        it, prob, lam, cost, done, _ = jax.lax.while_loop(
+        it, prob, lam, cost, done, eta = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), problem, lam0, cost0, jnp.bool_(False), eta0))
         info = {"initial_cost": cost0, "final_cost": cost,
                 "iterations": it, "lambda": lam, "converged": done}
-        return prob, info
+        return prob, info, (lam, eta, cost)
 
     track = P(axis_name)
     repl = P()
@@ -132,11 +142,43 @@ def make_sharded_lm(mesh: Mesh, cfg: LMConfig = LMConfig(),
         pose_prior_weight=repl, gps_triple=repl, gps_triple_weight=repl)
     info_spec = {"initial_cost": repl, "final_cost": repl,
                  "iterations": repl, "lambda": repl, "converged": repl}
+    carry_spec = (repl, repl, repl)
 
-    shard_fn = jax.shard_map(
-        lm_shard, mesh=mesh, in_specs=(in_spec,),
-        out_specs=(in_spec, info_spec))
-    return jax.jit(shard_fn)
+    chunk_fn = jax.jit(jax.shard_map(
+        lm_chunk, mesh=mesh,
+        in_specs=(in_spec, repl, repl, repl, repl),
+        out_specs=(in_spec, info_spec, carry_spec)))
+
+    def solve(problem: BAProblem):
+        dtype = problem.points.dtype
+        lam = jnp.asarray(cfg.init_lambda, dtype)
+        eta = jnp.asarray(cfg.cg_eta0 if forcing else cfg.cg_tol, dtype)
+        cost = jnp.asarray(-1.0, dtype)          # fresh-solve sentinel
+        chunk = max(1, min(cfg.host_chunk, max(cfg.max_iterations, 1)))
+        total_it = 0
+        initial_cost = None
+        if cfg.max_iterations <= 0:
+            problem, info, _ = chunk_fn(problem, lam, eta, cost,
+                                        jnp.int32(0))
+            info = dict(info)
+            info["iterations"] = jnp.asarray(0)
+            return problem, info
+        while total_it < cfg.max_iterations:
+            n = min(chunk, cfg.max_iterations - total_it)
+            problem, info, carry = chunk_fn(problem, lam, eta, cost,
+                                            jnp.int32(n))
+            lam, eta, cost = carry
+            total_it += int(info["iterations"])
+            if initial_cost is None:
+                initial_cost = info["initial_cost"]
+            if bool(info["converged"]) or int(info["iterations"]) < n:
+                break
+        info = dict(info)
+        info["iterations"] = jnp.asarray(total_it)
+        info["initial_cost"] = initial_cost
+        return problem, info
+
+    return solve
 
 
 def solve_lm_sharded(problem: BAProblem, mesh: Mesh,
