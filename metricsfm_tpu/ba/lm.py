@@ -68,6 +68,13 @@ class LMConfig(NamedTuple):
     # for minutes (the TPU transport enforces a per-call deadline; one
     # 100x100 LM-CG solve at 1k cameras blew it and took the worker down)
     host_chunk: int = 8
+    # observations (P*V) below which the whole solve runs as ONE chunk:
+    # a dense-path LM iteration at 65k observations is ~9 ms of device
+    # time, so even 100 iterations stay far under the transport deadline,
+    # while every extra chunk dispatch costs a ~26 ms host round-trip on
+    # the tunneled platform (measured round 5) — chunking SMALL solves
+    # pays pure latency.  Set 0 to always chunk.
+    host_chunk_small_obs: int = 1 << 17
 
 
 def _residual_one(pose, intr, point, uv):
@@ -803,7 +810,14 @@ def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
         info = dict(info)
         info["iterations"] = jnp.asarray(0)
         return problem, info
-    chunk = max(1, min(cfg.host_chunk, cfg.max_iterations))
+    # small problems run the full iteration budget as ONE execution (the
+    # while_loop still early-exits on rtol); chunking exists to bound
+    # device time per call, which only large solves approach
+    n_obs = int(problem.track_cam.shape[0]) * int(problem.track_cam.shape[1])
+    if n_obs <= cfg.host_chunk_small_obs:
+        chunk = cfg.max_iterations
+    else:
+        chunk = max(1, min(cfg.host_chunk, cfg.max_iterations))
     state = None
     total_it = 0
     initial_cost = None
@@ -814,13 +828,16 @@ def solve_lm(problem: BAProblem, cfg: LMConfig = LMConfig()):
         problem, info, state = _solve_lm_chunk(
             problem, cfg._replace(max_iterations=chunk), state,
             jnp.int32(n))
+        # ONE host transfer for the whole info dict per chunk — per-field
+        # int()/bool() fetches each paid a ~26 ms round trip
+        info = jax.device_get(info)
         total_it += int(info["iterations"])
         if initial_cost is None:
             initial_cost = info["initial_cost"]
         if bool(info["converged"]) or int(info["iterations"]) < n:
             break
     info = dict(info)
-    info["iterations"] = jnp.asarray(total_it)
+    info["iterations"] = total_it
     info["initial_cost"] = initial_cost
     return problem, info
 

@@ -42,7 +42,11 @@ def cmd_sfm(args):
     with span("sfm/feature_extraction", block_jax=True):
         db.feature_extraction(verbose=True)
     with span("sfm/match_graph", block_jax=True):
-        matches = build_match_graph(db, cfg, verbose=True)
+        matches = build_match_graph(
+            db, cfg, verbose=True,
+            debug_render_dir=(os.path.join(db.out, "match_renders")
+                              if getattr(args, "debug_matches", False)
+                              else None))
     feats = {i: db.features(i) for i in range(db.n_images)}
     with span("sfm/reconstruct", block_jax=True):
         sfm = IncrementalSfM(feats, matches, cfg)
@@ -143,6 +147,9 @@ def main(argv=None):
                     help="skip resize to the working resolution")
     ps.add_argument("--matching", choices=["all", "priori", "feature"],
                     default=None, help="override candidate strategy")
+    ps.add_argument("--debug-matches", action="store_true",
+                    help="write per-pair match renders (ref "
+                    "fine_matching_graph.cc:156-180 debug blocks)")
     ps.set_defaults(fn=cmd_sfm)
 
     pl = sub.add_parser("slam", help="GPS-aided SLAM refinement")

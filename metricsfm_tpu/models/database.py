@@ -139,7 +139,9 @@ class Database:
                     info = exif_util.extract_image_info(self.image_paths[i])
                     loaded[i] = (img, ratio, info)
                     batch[b, :img.shape[0], :img.shape[1]] = img[:Hb, :Wb]
-                out = jax.tree.map(np.asarray, extract_b(jnp.asarray(batch)))
+                # one host transfer for the whole output tree (per-leaf
+                # np.asarray fetches pay a ~26 ms round trip each)
+                out = jax.device_get(extract_b(jnp.asarray(batch)))
                 for b, i in enumerate(chunk):
                     img, ratio, info = loaded[i]
                     H, W = img.shape

@@ -268,9 +268,9 @@ class MatchGraphBuilder:
                                     for a in (ii, jj, keys))
                 keep, idx2, n_keep, ok = verify(desc_all, xy_all, mask_all,
                                                 ii, jj, keys)
-                keep = np.asarray(keep)
-                idx2 = np.asarray(idx2)
-                ok = np.asarray(ok)
+                # one host transfer for all three arrays (per-array
+                # fetches pay a ~26 ms round trip each)
+                keep, idx2, ok = jax.device_get((keep, idx2, ok))
                 for b, (i, j) in enumerate(chunk_pairs):
                     if ok[b]:
                         kp_i = np.where(keep[b])[0]
@@ -294,8 +294,47 @@ class MatchGraphBuilder:
         return out
 
 
+def render_pair_matches(database, matches, render_dir: str,
+                        features=None, max_pairs: int = 50,
+                        max_lines: int = 200) -> List[str]:
+    """Write side-by-side match renders for verified pairs (the
+    reference's commented-out cv::line debug blocks,
+    fine_matching_graph.cc:156-180, as a shipped affordance).
+
+    Renders up to `max_pairs` pairs (evenly subsampled) as
+    match_{i}_{j}.png in render_dir.  Returns written paths.
+    """
+    import os
+
+    from PIL import Image
+
+    from ..io.exports import write_match_visualization
+
+    os.makedirs(render_dir, exist_ok=True)
+    feats = features or {i: database.features(i)
+                         for i in range(database.n_images)}
+    keys = sorted(matches.keys())
+    sel = (np.linspace(0, len(keys) - 1,
+                       min(len(keys), max_pairs)).astype(int)
+           if keys else np.zeros(0, int))
+    written = []
+    for s in np.unique(sel):
+        i, j = keys[s]
+        m = matches[(i, j)]
+        with Image.open(database.image_paths[i]) as a:
+            img_i = np.asarray(a.convert("L"), np.float32) / 255.0
+        with Image.open(database.image_paths[j]) as b:
+            img_j = np.asarray(b.convert("L"), np.float32) / 255.0
+        p = os.path.join(render_dir, f"match_{i:04d}_{j:04d}.png")
+        write_match_visualization(p, img_i, img_j, feats[i].xy,
+                                  feats[j].xy, m.kp_i, m.kp_j,
+                                  max_lines=max_lines)
+        written.append(p)
+    return written
+
+
 def build_match_graph(database, config, verbose: bool = False, mesh=None,
-                      priori_utm=None):
+                      priori_utm=None, debug_render_dir=None):
     """End-to-end graph build (ref Graph::BuildGraph, graph.cc:52-70).
 
     Chooses the candidate strategy from config.graph.matching_type, runs
@@ -306,6 +345,9 @@ def build_match_graph(database, config, verbose: bool = False, mesh=None,
     priori_utm: optional (n, 2) easting/northing for 'priori' candidate
     selection when positions come from a pose-prior file rather than image
     EXIF (the reference accepts both, initial_matching_graph.cc:83-162).
+
+    debug_render_dir: when set, per-pair match visualizations are written
+    there (render_pair_matches).
     """
     import jax
     import jax.numpy as jnp
@@ -359,4 +401,7 @@ def build_match_graph(database, config, verbose: bool = False, mesh=None,
         mesh = Mesh(np.array(jax.devices()), ("data",))
     builder = MatchGraphBuilder(opts, out_fold=database.out, mesh=mesh)
     feats = {i: database.features(i) for i in range(n)}
-    return builder.build(feats, pairs, verbose=verbose)
+    out = builder.build(feats, pairs, verbose=verbose)
+    if debug_render_dir is not None:
+        render_pair_matches(database, out, debug_render_dir, features=feats)
+    return out

@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ba import problem as ba_problem
-from ..ba.lm import LMConfig, solve_lm
+from ..ba.lm import LMConfig, _solve_lm_chunk, solve_lm
 from ..models.scene import bucket
 from ..ops import np_geom
 
@@ -149,21 +149,37 @@ def build_submap_problems(scene, kp_xy: Dict[int, np.ndarray],
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _solve_batched(problems, cfg: LMConfig):
-    return jax.vmap(lambda p: solve_lm(p, cfg))(problems)
+def _solve_batched_chunk(problems, cfg: LMConfig, state, n_its):
+    """One vmapped LM chunk over the submap batch axis; `state` is None
+    (fresh) or the vmapped (lam, eta, cost) carry from the prior chunk."""
+    if state is None:
+        return jax.vmap(
+            lambda p: _solve_lm_chunk(p, cfg, None, n_its))(problems)
+    return jax.vmap(
+        lambda p, s: _solve_lm_chunk(p, cfg, s, n_its))(problems, state)
 
 
 def solve_submaps(problems, cfg: LMConfig = LMConfig(),
                   mesh: Optional[Mesh] = None, axis_name: str = "data"):
-    """Solve all submaps in one jitted vmapped call.
+    """Solve all submaps as HOST-CHUNKED vmapped calls.
 
     With a mesh, the batch axis is sharded over it — each device solves its
     own submaps; XLA needs no collectives because submaps are independent
     (the pose graph on host does the cross-submap coupling).
+
+    The batched solve is host-chunked like solve_lm: each XLA execution
+    runs at most cfg.host_chunk LM iterations per submap (one unchunked
+    18-submap x 100-iteration execution at the 1k-image scale is minutes
+    of device time — the transport-deadline class the chunking exists
+    for, lm.py:66-70).  Small batches (total observations under
+    cfg.host_chunk_small_obs) run the full budget in one execution.
+    Already-converged submaps re-entering a later chunk reject one step
+    and idle in the while_loop, so the waste per extra chunk is one LM
+    iteration on a converged (cheap to reject) problem.
     """
+    S = problems.poses.shape[0]
     if mesh is not None:
         n = mesh.shape[axis_name]
-        S = problems.poses.shape[0]
         pad = (-S) % n
         if pad:
             problems = jax.tree.map(
@@ -171,12 +187,37 @@ def solve_submaps(problems, cfg: LMConfig = LMConfig(),
                 problems)
         shard = NamedSharding(mesh, P(axis_name))
         problems = jax.tree.map(lambda x: jax.device_put(x, shard), problems)
-        out, info = _solve_batched(problems, cfg)
-        if pad:
-            out = jax.tree.map(lambda x: x[:S], out)
-            info = jax.tree.map(lambda x: x[:S], info)
-        return out, info
-    return _solve_batched(problems, cfg)
+
+    Sb, Pp, V = problems.track_cam.shape
+    total_obs = Sb * Pp * V
+    if total_obs <= cfg.host_chunk_small_obs:
+        chunk = cfg.max_iterations
+    else:
+        chunk = max(1, min(cfg.host_chunk, cfg.max_iterations))
+    ccfg = cfg._replace(max_iterations=chunk)
+
+    state = None
+    total_it = 0
+    initial_cost = None
+    out = problems
+    info = None
+    while total_it < cfg.max_iterations:
+        n_its = min(chunk, cfg.max_iterations - total_it)
+        out, info, state = _solve_batched_chunk(out, ccfg, state,
+                                                jnp.int32(n_its))
+        host = jax.device_get({"it": info["iterations"],
+                               "conv": info["converged"]})
+        total_it += int(host["it"].max())
+        if initial_cost is None:
+            initial_cost = info["initial_cost"]
+        if bool(host["conv"].all()) or int(host["it"].max()) < n_its:
+            break
+    info = dict(info)
+    info["initial_cost"] = initial_cost
+    if mesh is not None and (-S) % mesh.shape[axis_name]:
+        out = jax.tree.map(lambda x: x[:S], out)
+        info = {k: v[:S] for k, v in info.items()}
+    return out, info
 
 
 # ------------------------------------------------------------ pose graph

@@ -176,3 +176,26 @@ def test_write_point_cloud_counts(tmp_path, scene_and_obs):
     assert len(lines) == 4 + 5 * 3
     xyz = np.array([float(v) for v in lines[0].split()[:3]])
     np.testing.assert_allclose(xyz, scene.tracks[0].xyz, atol=1e-5)
+
+
+def test_write_match_visualization(tmp_path):
+    """Per-pair match render (ref fine_matching_graph.cc:156-180 debug
+    blocks): side-by-side canvas with one line per (subsampled) match."""
+    rng = np.random.default_rng(0)
+    img_i = rng.uniform(0, 1, size=(48, 64)).astype(np.float32)
+    img_j = rng.uniform(0, 1, size=(48, 64)).astype(np.float32)
+    xy_i = rng.uniform(-20, 20, size=(30, 2))
+    xy_j = rng.uniform(-20, 20, size=(30, 2))
+    kp = np.arange(10)
+    path = os.path.join(tmp_path, "match.png")
+    out = exports.write_match_visualization(
+        path, img_i, img_j, xy_i, xy_j, kp, kp,
+        good=np.arange(10) % 2 == 0)
+    from PIL import Image
+    with Image.open(out) as im:
+        w, h = im.size
+        px = np.asarray(im.convert("RGB"))
+    assert (w, h) == (128, 48)
+    # drawn lines leave saturated green pixels somewhere on the canvas
+    green = (px[..., 1] == 200) & (px[..., 0] == 0)
+    assert green.any()
