@@ -331,7 +331,13 @@ class IncrementalSfM:
         feat = self.features[img]
         k2t_img = scene.kp_to_track[img]
         ki_parts, nb_parts, kj_parts = [], [], []
-        pose_parts, intr_parts, uv_parts = [], [], []
+        nbrow_parts, uv_parts = [], []
+        # small per-call pose/intr tables; row 0 = the new image, the
+        # device gathers per-view rows by index (triangulate_tracks_indexed
+        # — materialized per-view pose tensors were the measured top
+        # upload cost of the 200-image run on the ~25-55 MB/s host link)
+        table_imgs = [img]
+        row_of_img = {img: 0}
         with span("sfm/triangulate_new/prep"):
             for nb in self._neighbors.get(img, []):
                 if nb not in scene.poses:
@@ -349,14 +355,14 @@ class IncrementalSfM:
                 new = np.where((ti < 0) & (tj < 0))[0]
                 if len(new) == 0:
                     continue
+                if nb not in row_of_img:
+                    row_of_img[nb] = len(table_imgs)
+                    table_imgs.append(nb)
                 ki_parts.append(m.kp_i[new].astype(np.int64))
                 nb_parts.append(np.full(len(new), nb, np.int64))
                 kj_parts.append(m.kp_j[new].astype(np.int64))
-                pose_parts.append(np.broadcast_to(scene.poses[nb],
-                                                  (len(new), 6)))
-                intr_parts.append(np.broadcast_to(
-                    scene.models[scene.model_of_image[nb]].as_array(),
-                    (len(new), 3)))
+                nbrow_parts.append(np.full(len(new), row_of_img[nb],
+                                           np.int32))
                 uv_parts.append(self.features[nb].xy[m.kp_j[new]])
             if not ki_parts:
                 return 0
@@ -367,8 +373,7 @@ class IncrementalSfM:
             ki_s = ki_all[order]
             nb_s = np.concatenate(nb_parts)[order]
             kj_s = np.concatenate(kj_parts)[order]
-            pose_s = np.concatenate(pose_parts)[order]
-            intr_s = np.concatenate(intr_parts)[order]
+            nbrow_s = np.concatenate(nbrow_parts)[order]
             uv_s = np.concatenate(uv_parts)[order]
             uk, start, counts = np.unique(ki_s, return_index=True,
                                           return_counts=True)
@@ -378,29 +383,29 @@ class IncrementalSfM:
 
             V = 8
             P = bucket(n_items, 64)
-            poses = np.zeros((P, V, 6))
-            intrs = np.zeros((P, V, 3))
-            obs = np.zeros((P, V, 2))
-            mask = np.zeros((P, V))
-            # slot 0: the new image's own observation
-            poses[:n_items, 0] = scene.poses[img]
-            intrs[:n_items, 0] = \
-                scene.models[scene.model_of_image[img]].as_array()
+            R = bucket(len(table_imgs), 8)
+            pose_table = np.zeros((R, 6), np.float32)
+            intr_table = np.zeros((R, 3), np.float32)
+            for im2, rr in row_of_img.items():
+                pose_table[rr] = scene.poses[im2]
+                intr_table[rr] = \
+                    scene.models[scene.model_of_image[im2]].as_array()
+            cam_idx = np.zeros((P, V), np.int32)
+            obs = np.zeros((P, V, 2), np.float32)
+            mask = np.zeros((P, V), np.float32)
+            # slot 0: the new image's own observation (table row 0)
             obs[:n_items, 0] = feat.xy[uk[:n_items]]
             mask[:n_items, 0] = 1.0
             keep = (group < n_items) & (slot < V - 1)
             r, v = group[keep], slot[keep] + 1
-            poses[r, v] = pose_s[keep]
-            intrs[r, v] = intr_s[keep]
+            cam_idx[r, v] = nbrow_s[keep]
             obs[r, v] = uv_s[keep]
             mask[r, v] = 1.0
         th_angle = self.cfg.sfm.th_angle_small if n_items <= 500 \
             else self.cfg.sfm.th_angle_large
         with span("sfm/triangulate_new/device"):
-            xyz, ok, mse = triangulation.triangulate_tracks(
-                jnp.asarray(poses, jnp.float32),
-                jnp.asarray(intrs, jnp.float32),
-                jnp.asarray(obs, jnp.float32), jnp.asarray(mask, jnp.float32),
+            xyz, ok, mse = triangulation.triangulate_tracks_indexed(
+                pose_table, intr_table, cam_idx, obs, mask,
                 self.cfg.sfm.th_mse_reprojection, th_angle, "midpoint")
             xyz, ok = jax.device_get((xyz, ok))   # one transfer, not two
         added = 0
