@@ -451,40 +451,86 @@ def backsub_points(aux, d_cam, problem: BAProblem):
 # Matrix-free PCG path for the reduced camera system (cfg.cg_iterations > 0)
 # ---------------------------------------------------------------------------
 
-def _chunked_reduce(vals, ids, n: int, chunk: int):
-    """sum_{p,v} vals[p,v] into bins ids[p,v] -> (n, k).
+def _inv3x3_lead(A, eps=1e-12):
+    """_inv3x3 for LEADING (3, 3, ...) index layout (lanes trailing)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < eps, eps, det)
+    rows = jnp.stack([jnp.stack([A11, A12, A13]),
+                      jnp.stack([A21, A22, A23]),
+                      jnp.stack([A31, A32, A33])])
+    return rows / det
 
-    TPU-idiomatic scatter-free reduction: a lax.scan over point chunks,
-    each chunk reduced with ONE one-hot matmul — O(chunk*V*n) transient
-    memory instead of the O(P*n) a materialized one-hot would need, and no
-    XLA scatter (measured >100x slower than the matmul form).
+
+def _chol3x3_lead(A, eps=1e-12):
+    """_chol3x3 for LEADING (3, 3, ...) index layout."""
+    a11 = jnp.maximum(A[0, 0], eps)
+    l11 = jnp.sqrt(a11)
+    l21 = A[1, 0] / l11
+    l31 = A[2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(A[1, 1] - l21 * l21, eps))
+    l32 = (A[2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[2, 2] - l31 * l31 - l32 * l32, eps))
+    z = jnp.zeros_like(l11)
+    return jnp.stack([jnp.stack([l11, z, z]),
+                      jnp.stack([l21, l22, z]),
+                      jnp.stack([l31, l32, l33])])
+
+
+def _make_slot_reducer(camT, maskT, n: int):
+    """Chunked one-hot reduction over flat v-major slots -> `n` bins.
+
+    camT/maskT: (V, P).  Masked slots route to the sentinel bin `n` (their
+    values are mask-scaled to 0 anyway) and drop out of the one-hot
+    exactly.  Returns reduce(z) taking (k, V, P) -> (k, n) — the pattern
+    the CG matvec uses per iteration (reduce_cam9), shared at build time.
     """
-    P, V = ids.shape
-    k = vals.shape[-1]
-    pad = (-P) % chunk
-    if pad:
-        vals = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))
-        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=n)  # -> zero row
-    nc = (P + pad) // chunk
-    vals = vals.reshape(nc, chunk, V, k)
-    ids = ids.reshape(nc, chunk, V)
+    ids_eff = jnp.where(maskT, camT, n).reshape(-1)
+    PV = ids_eff.shape[0]
+    CH = min(32768, max(128, 1 << (PV - 1).bit_length()))
+    padn = (-PV) % CH
+    ids2d = jnp.pad(ids_eff, (0, padn), constant_values=n).reshape(-1, CH)
 
-    def body(acc, sl):
-        v, i = sl
-        oh = jax.nn.one_hot(i, n, dtype=v.dtype)       # (chunk, V, n)
-        return acc + jnp.einsum("pvn,pvk->nk", oh, v), None
+    def reduce(z):
+        k = z.shape[0]
+        zf = z.reshape(k, PV)
+        if padn:
+            zf = jnp.pad(zf, ((0, 0), (0, padn)))
+        zst = jnp.moveaxis(zf.reshape(k, -1, CH), 1, 0)   # (nch,k,CH)
 
-    # the `+ 0 * vals[...]` term marks the carry as shard-varying so the
-    # scan type-checks under shard_map (the body output inherits the data
-    # axis' varying tag from vals); fused away by XLA otherwise
-    acc0 = jnp.zeros((n, k), vals.dtype) + 0.0 * vals.reshape(-1)[0]
-    out, _ = jax.lax.scan(body, acc0, (vals, ids))
-    return out
+        def body(acc, sl):
+            zch, idc = sl
+            oh = (idc[:, None] == jnp.arange(n)[None, :]).astype(zf.dtype)
+            return acc + jnp.dot(zch, oh,
+                                 precision=jax.lax.Precision.HIGHEST), None
+        # `+ 0 * zf[...]` marks the carry shard-varying under shard_map
+        acc0 = jnp.zeros((k, n), zf.dtype) + 0.0 * zf.reshape(-1)[0]
+        out, _ = jax.lax.scan(body, acc0, (zst, ids2d))
+        return out
+    return reduce
 
 
 def _track_terms(problem: BAProblem, lam, cfg: LMConfig):
     """Per-track tensors + rhs for the CG path — everything O(P*V), no
-    (D, D) matrix and no O(P*C) factor."""
+    (D, D) matrix and no O(P*C) factor.
+
+    LANE-MAJOR THROUGHOUT: every per-slot tensor keeps the big (V, P)
+    axes trailing and the tiny 2/3/9 dims leading.  The einsum form this
+    replaces materialized (P, V, 9, 9) / (P, V, 9, 3) intermediates whose
+    tiny minor dims tile-pad 19-28x on TPU — 28 GB of HLO temps at the
+    500-image full-BA scale (round-5 measured OOM), vs ~650 MB unpadded.
+    """
     C, M = problem.n_cameras, problem.n_models
     dtype = problem.points.dtype
 
@@ -496,48 +542,72 @@ def _track_terms(problem: BAProblem, lam, cfg: LMConfig):
     Jpt = Jpt * rw[..., None]
 
     cam = problem.track_cam
-    model = problem.cam_model[cam]
+    camT = jnp.transpose(cam, (1, 0))                    # (V,P)
+    maskT = jnp.transpose(problem.track_mask, (1, 0))
+    modelT = problem.cam_model[camT]
 
-    # point blocks
-    Hpp = jnp.einsum("pvri,pvrj->pij", Jpt, Jpt)
-    diag_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    # lane-major views of the per-observation jacobians/residuals
+    JpoT = jnp.transpose(Jpo, (2, 3, 1, 0))              # (2,6,V,P)
+    JinT = jnp.transpose(Jin, (2, 3, 1, 0))              # (2,3,V,P)
+    JptT = jnp.transpose(Jpt, (2, 3, 1, 0))              # (2,3,V,P)
+    rT = jnp.transpose(r, (2, 1, 0))                     # (2,V,P)
+    JcT = jnp.concatenate([JpoT, JinT], axis=1)          # (2,9,V,P)
+
+    pmP = problem.point_mut                              # (P,)
+
+    # ---- point blocks, (3,3,P) leading layout ----
+    HppT = jnp.stack([jnp.stack([
+        sum((JptT[rr, i] * JptT[rr, j]).sum(0) for rr in range(2))
+        for j in range(3)]) for i in range(3)])          # (3,3,P)
+    diag_pp = jnp.stack([HppT[i, i] for i in range(3)])  # (3,P)
     damp = lam * jnp.maximum(diag_pp, 1e-12) + 1e-12
-    Hpp_d = Hpp + damp[..., None] * jnp.eye(3, dtype=dtype)
-    pm = problem.point_mut[:, None, None]
-    Hpp_d = Hpp_d * pm + jnp.eye(3, dtype=dtype)[None] * (1.0 - pm)
-    Hpp_inv = _inv3x3(Hpp_d)
+    eyeP = jnp.eye(3, dtype=dtype)[:, :, None]
+    Hpp_d = HppT + eyeP * damp[None, :, :]               # damp on diagonal
+    # frozen points: identity block (inverse benign; d_pt forced 0 later)
+    Hpp_d = Hpp_d * pmP[None, None, :] + eyeP * (1.0 - pmP)[None, None, :]
+    HiT = _inv3x3_lead(Hpp_d)                            # (3,3,P)
 
-    Jc = jnp.concatenate([Jpo, Jin], axis=-1)            # (P,V,2,9)
-    W = jnp.einsum("pvri,pvrj->pvij", Jc, Jpt)           # (P,V,9,3)
-    W = W * problem.point_mut[:, None, None, None]
+    # ---- W / U, (9,3,V,P) leading layout ----
+    WT = jnp.stack([jnp.stack([
+        sum(JcT[rr, i] * JptT[rr, k] for rr in range(2))
+        for k in range(3)]) for i in range(9)])          # (9,3,V,P)
+    WT = WT * pmP[None, None, None, :]
+    LpT = _chol3x3_lead(HiT)                             # (3,3,P)
+    UT = jnp.stack([jnp.stack([
+        sum(WT[i, j] * LpT[j, k][None, :] for j in range(3))
+        for k in range(3)]) for i in range(9)])          # (9,3,V,P)
 
-    # gradient + Schur rhs correction (chunked one-hot reductions)
-    g_view = jnp.einsum("pvri,pvr->pvi", Jc, r)          # (P,V,9)
-    g_pt = jnp.einsum("pvri,pvr->pi", Jpt, r)            # (P,3)
-    y = jnp.einsum("pij,pj->pi", Hpp_inv, g_pt)
-    corr = jnp.einsum("pvij,pj->pvi", W, y)              # (P,V,9)
-    rv = corr - g_view
-    rhs_pose = _chunked_reduce(rv[..., :6], cam, C, cfg.cg_chunk)
-    rhs_intr = _chunked_reduce(rv[..., 6:], model, M, cfg.cg_chunk)
+    # ---- gradient + Schur rhs correction ----
+    g_ptT = jnp.stack([sum((JptT[rr, i] * rT[rr]).sum(0) for rr in range(2))
+                       for i in range(3)])               # (3,P)
+    yT = jnp.stack([sum(HiT[i, j] * g_ptT[j] for j in range(3))
+                    for i in range(3)])                  # (3,P)
+    g_viewT = jnp.stack([sum(JcT[rr, i] * rT[rr] for rr in range(2))
+                         for i in range(9)])             # (9,V,P)
+    corrT = jnp.stack([sum(WT[i, k] * yT[k][None, :] for k in range(3))
+                       for i in range(9)])               # (9,V,P)
+    rvT = corrT - g_viewT
+
+    reduce_cam = _make_slot_reducer(camT, maskT, C)
+    reduce_mod = _make_slot_reducer(modelT, maskT, M)
+    rhs_pose = reduce_cam(rvT[:6]).T                     # (C,6)
+    rhs_intr = reduce_mod(rvT[6:]).T                     # (M,3)
     rhs = jnp.concatenate([rhs_pose.reshape(-1), rhs_intr.reshape(-1)])
 
-    # diagonal + block-Jacobi pieces of S (Hcc minus Schur part, per view)
-    Lp = _chol3x3(Hpp_inv)
-    U = jnp.einsum("pvij,pjk->pvik", W, Lp)              # (P,V,9,3)
-    blk_view = (jnp.einsum("pvri,pvrj->pvij", Jc, Jc)
-                - jnp.einsum("pvik,pvjk->pvij", U, U))   # (P,V,9,9)
-    blk_pose = _chunked_reduce(
-        blk_view[:, :, :6, :6].reshape(*cam.shape, 36), cam, C,
-        cfg.cg_chunk).reshape(C, 6, 6)
-    blk_intr = _chunked_reduce(
-        blk_view[:, :, 6:, 6:].reshape(*cam.shape, 9), model, M,
-        cfg.cg_chunk).reshape(M, 3, 3)
+    # ---- block-Jacobi pieces of S (Hcc minus Schur part, per view) ----
+    def blk_map(i, j):
+        return (sum(JcT[rr, i] * JcT[rr, j] for rr in range(2))
+                - sum(UT[i, k] * UT[j, k] for k in range(3)))  # (V,P)
 
-    aux = _lane_major_aux(W, Hpp_inv, cam, g_pt)
-    terms = {"JcT": jnp.transpose(Jc, (2, 3, 1, 0)),     # (2,9,V,P)
-             "WT": aux["WT"], "HiT": aux["HiT"], "camT": aux["camT"],
-             "maskT": jnp.transpose(problem.track_mask, (1, 0)),
-             "blk_pose": blk_pose, "blk_intr": blk_intr}
+    z36 = jnp.stack([blk_map(i, j) for i in range(6) for j in range(6)])
+    blk_pose = reduce_cam(z36).T.reshape(C, 6, 6)
+    z9 = jnp.stack([blk_map(6 + i, 6 + j)
+                    for i in range(3) for j in range(3)])
+    blk_intr = reduce_mod(z9).T.reshape(M, 3, 3)
+
+    aux = {"WT": WT, "HiT": HiT, "camT": camT, "g_ptT": g_ptT}
+    terms = {"JcT": JcT, "WT": WT, "HiT": HiT, "camT": camT,
+             "maskT": maskT, "blk_pose": blk_pose, "blk_intr": blk_intr}
     return terms, rhs, aux
 
 
@@ -619,37 +689,13 @@ def _cg_solve(problem: BAProblem, terms, Hg, Ht, rhs, lam, cfg: LMConfig,
     cam_model = problem.cam_model
     gps_triple = problem.gps_triple
 
-    # slot -> camera ids in v-major flat order; masked slots route to the
-    # sentinel bin C (their J/W rows are mask-scaled to 0 anyway), so they
-    # drop out of the one-hot reduction exactly
-    camf_eff = jnp.where(maskT, camT, C).reshape(-1)
-    PV = camf_eff.shape[0]
-    CH = min(32768, max(128, 1 << (PV - 1).bit_length()))
-    padn = (-PV) % CH
-    ids2d = jnp.pad(camf_eff, (0, padn),
-                    constant_values=C).reshape(-1, CH)
-
-    def reduce_cam9(z9):
-        """sum slots into camera bins: (9,V,P) -> (9,C) via chunked one-hot
-        matmuls on the MXU (f32: the CG direction is precision-sensitive;
-        at HIGHEST the reduction is exact to ~1e-7 and costs ~10% more
-        than bf16).  Scatter/segment ops measured >100x slower on TPU;
-        the (C,K) gather-table this replaces was 1.8 ms/matvec slower and
-        needed host-side K validation to not silently drop terms."""
-        zf = z9.reshape(9, PV)
-        if padn:
-            zf = jnp.pad(zf, ((0, 0), (0, padn)))
-        zst = jnp.moveaxis(zf.reshape(9, -1, CH), 1, 0)   # (nch,9,CH)
-
-        def body(acc, sl):
-            zch, idc = sl
-            oh = (idc[:, None] == jnp.arange(C)[None, :]).astype(zf.dtype)
-            return acc + jnp.dot(zch, oh,
-                                 precision=jax.lax.Precision.HIGHEST), None
-        # `+ 0 * zf[...]` marks the carry shard-varying under shard_map
-        acc0 = jnp.zeros((9, C), zf.dtype) + 0.0 * zf.reshape(-1)[0]
-        out, _ = jax.lax.scan(body, acc0, (zst, ids2d))
-        return out
+    # sum slots into camera bins: (9,V,P) -> (9,C) via chunked one-hot
+    # matmuls on the MXU (f32: the CG direction is precision-sensitive;
+    # at HIGHEST the reduction is exact to ~1e-7 and costs ~10% more
+    # than bf16).  Scatter/segment ops measured >100x slower on TPU; the
+    # (C,K) gather-table this replaced was 1.8 ms/matvec slower and needed
+    # host-side K validation to not silently drop terms.
+    reduce_cam9 = _make_slot_reducer(camT, maskT, C)
 
     def matvec(x):
         xm = x * free

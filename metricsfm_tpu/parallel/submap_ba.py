@@ -159,35 +159,19 @@ def _solve_batched_chunk(problems, cfg: LMConfig, state, n_its):
         lambda p, s: _solve_lm_chunk(p, cfg, s, n_its))(problems, state)
 
 
-def solve_submaps(problems, cfg: LMConfig = LMConfig(),
-                  mesh: Optional[Mesh] = None, axis_name: str = "data"):
-    """Solve all submaps as HOST-CHUNKED vmapped calls.
+def _solve_group(problems, cfg: LMConfig):
+    """HOST-CHUNKED solve of one fixed-size vmapped submap group.
 
-    With a mesh, the batch axis is sharded over it — each device solves its
-    own submaps; XLA needs no collectives because submaps are independent
-    (the pose graph on host does the cross-submap coupling).
-
-    The batched solve is host-chunked like solve_lm: each XLA execution
-    runs at most cfg.host_chunk LM iterations per submap (one unchunked
-    18-submap x 100-iteration execution at the 1k-image scale is minutes
-    of device time — the transport-deadline class the chunking exists
-    for, lm.py:66-70).  Small batches (total observations under
+    Host-chunked like solve_lm: each XLA execution runs at most
+    cfg.host_chunk LM iterations per submap (one unchunked 18-submap x
+    100-iteration execution at the 1k-image scale is minutes of device
+    time — the transport-deadline class the chunking exists for,
+    lm.py:66-70).  Small groups (total observations under
     cfg.host_chunk_small_obs) run the full budget in one execution.
     Already-converged submaps re-entering a later chunk reject one step
     and idle in the while_loop, so the waste per extra chunk is one LM
     iteration on a converged (cheap to reject) problem.
     """
-    S = problems.poses.shape[0]
-    if mesh is not None:
-        n = mesh.shape[axis_name]
-        pad = (-S) % n
-        if pad:
-            problems = jax.tree.map(
-                lambda x: jnp.concatenate([x] + [x[-1:]] * pad, axis=0),
-                problems)
-        shard = NamedSharding(mesh, P(axis_name))
-        problems = jax.tree.map(lambda x: jax.device_put(x, shard), problems)
-
     Sb, Pp, V = problems.track_cam.shape
     total_obs = Sb * Pp * V
     if total_obs <= cfg.host_chunk_small_obs:
@@ -214,9 +198,55 @@ def solve_submaps(problems, cfg: LMConfig = LMConfig(),
             break
     info = dict(info)
     info["initial_cost"] = initial_cost
-    if mesh is not None and (-S) % mesh.shape[axis_name]:
-        out = jax.tree.map(lambda x: x[:S], out)
-        info = {k: v[:S] for k, v in info.items()}
+    return out, info
+
+
+def solve_submaps(problems, cfg: LMConfig = LMConfig(),
+                  mesh: Optional[Mesh] = None, axis_name: str = "data",
+                  vmap_chunk: int = 8):
+    """Solve all submaps as fixed-size vmapped groups of `vmap_chunk`.
+
+    Two reasons for the fixed group size (each group padded to exactly
+    vmap_chunk with copies of its last submap, results sliced off):
+    * ONE compiled shape regardless of the submap count — the incremental
+      driver's growth schedule produces a different S at almost every
+      full BA (S = 8, 9, 10, ...) and each distinct S recompiles the
+      vmapped solver (~40 s per shape);
+    * bounded HLO temps — the dense per-submap Schur path materializes
+      (S, P, V, 9, 3)-class intermediates whose tiny minor dims tile-pad
+      ~19x; at S = 16 x P = 16k that alone exceeded HBM (round-5
+      measured OOM at the 500-image scale).
+
+    With a mesh, each group's batch axis is sharded over it — submaps are
+    independent, so XLA needs no collectives (the pose graph on host does
+    the cross-submap coupling).
+    """
+    S = problems.poses.shape[0]
+    if mesh is not None:
+        n = mesh.shape[axis_name]
+        vmap_chunk = -(-vmap_chunk // n) * n
+    outs, infos = [], []
+    for s0 in range(0, S, vmap_chunk):
+        grp = jax.tree.map(lambda x: x[s0:s0 + vmap_chunk], problems)
+        g = grp.poses.shape[0]
+        if g < vmap_chunk:
+            grp = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x] + [x[-1:]] * (vmap_chunk - g), axis=0), grp)
+        if mesh is not None:
+            shard = NamedSharding(mesh, P(axis_name))
+            grp = jax.tree.map(lambda x: jax.device_put(x, shard), grp)
+        out_g, info_g = _solve_group(grp, cfg)
+        if g < vmap_chunk:
+            out_g = jax.tree.map(lambda x: x[:g], out_g)
+            info_g = {k: v[:g] for k, v in info_g.items()}
+        outs.append(out_g)
+        infos.append(info_g)
+    if len(outs) == 1:
+        return outs[0], infos[0]
+    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    info = {k: jnp.concatenate([jnp.atleast_1d(i[k]) for i in infos])
+            for k in infos[0]}
     return out, info
 
 
@@ -337,6 +367,13 @@ def hierarchical_ba(scene, kp_xy: Dict[int, np.ndarray],
     imgs = scene.registered
     parts = partition_images(imgs, max_cams, overlap)
     probs, infos = build_submap_problems(scene, kp_xy, parts, max_views)
+    if cfg.cg_iterations == 0:
+        # batched submap solves always use the matrix-free PCG camera
+        # solve: the dense per-submap Schur path materializes O(P*C)
+        # one-hot factors and (P, V, 9, 3) temps whose tiny minor dims
+        # tile-pad 19-42x under vmap — HBM OOM at the 500-image scale
+        # (round-5 measured); the lane-major CG terms stay O(P*V) unpadded
+        cfg = cfg._replace(cg_iterations=50)
     solved, info = solve_submaps(probs, cfg, mesh=mesh)
     poses_out = np.asarray(solved.poses, np.float64)    # (S, Cp, 6)
     points_out = np.asarray(solved.points, np.float64)  # (S, Pp, 3)
