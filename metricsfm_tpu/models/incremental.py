@@ -457,15 +457,30 @@ class IncrementalSfM:
         Returns the list of scene track indices the solve could have
         moved (the partial problem's tracks; None for a full BA = all).
         """
-        if full and len(scene.registered) > self.cfg.sfm.th_hierarchical_cameras:
-            # large scene: hierarchical submap BA + pose-graph merge
+        if (full and not final and
+                len(scene.registered) > self.cfg.sfm.th_hierarchical_cameras):
+            # large scene, PERIODIC full BA: hierarchical submap BA +
+            # pose-graph merge (cheap, local).  The FINAL full BA always
+            # runs the single global matrix-free CG solve instead: the
+            # pose-graph merge leaves low-frequency stitching error that
+            # only a global solve removes (1k-image ATE was 3.1% when the
+            # final solve was hierarchical too, vs 0.25% at the 200/500
+            # scales whose finals were global), and 1k+ cameras is
+            # exactly the scale the CG camera solve is built for.
             from ..parallel.submap_ba import hierarchical_ba
             kp_xy = {im: self.features[im].xy for im in scene.registered}
+            # periodic budget: iteration cap + loose rtol like every other
+            # intermediate solve (the full _lm_cfg 100-it/1e-6 budget ran
+            # each submap group to the cap — 871 s of the first 1k-image
+            # run's wall; the scene is re-solved on the next growth step)
             hierarchical_ba(
                 scene, kp_xy,
                 max_cams=self.cfg.sfm.submap_max_cams,
                 overlap=self.cfg.sfm.submap_overlap,
-                cfg=self._lm_cfg)
+                cfg=self._lm_cfg._replace(
+                    max_iterations=self.cfg.sfm.th_step_full_ba_iterations,
+                    rtol=max(self._lm_cfg.rtol,
+                             self.cfg.sfm.intermediate_ba_rtol)))
             self.stats["full_ba"] += 1
             self.stats["full_ba_hier"] += 1
             return None

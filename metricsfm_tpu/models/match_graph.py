@@ -209,14 +209,27 @@ class MatchGraphBuilder:
 
         out: Dict[Tuple[int, int], PairMatches] = {}
         todo: List[Tuple[int, int]] = []
+        # per-image match shards ({i}_match like the reference,
+        # fine_matching_graph.cc:182-193), per-pair resume granularity
+        # kept via the shard's processed-j list
+        recs: Dict[int, dict] = {}
+        if self.out is not None:
+            for i in sorted({i for (i, _) in pairs}):
+                r = fstore.read_image_matches(self.out, i)
+                if r is not None:
+                    recs[i] = r
         for (i, j) in pairs:
-            if self.out is not None and fstore.has_matches(self.out, i, j):
-                cached = fstore.read_matches(self.out, i, j)
-                if len(cached["kp_i"]):
-                    out[(i, j)] = PairMatches(kp_i=cached["kp_i"],
-                                              kp_j=cached["kp_j"])
+            r = recs.get(i)
+            if r is not None and j in r["processed"]:
+                if j in r["pairs"]:
+                    a, b = r["pairs"][j]
+                    out[(i, j)] = PairMatches(kp_i=a, kp_j=b)
                 continue
             todo.append((i, j))
+        pending: Dict[int, int] = {}
+        for (i, _) in todo:
+            pending[i] = pending.get(i, 0) + 1
+        fresh: Dict[int, Dict[int, tuple]] = {}
 
         if todo:
             # one shared keypoint budget N: all images pad to the max K
@@ -280,10 +293,23 @@ class MatchGraphBuilder:
                     else:
                         m = None
                     if self.out is not None:
-                        fstore.write_matches(
-                            self.out, i, j,
+                        fresh.setdefault(i, {})[j] = (
                             m.kp_i if m else np.empty(0, np.int64),
                             m.kp_j if m else np.empty(0, np.int64))
+                        pending[i] -= 1
+                        if pending[i] == 0:
+                            # image i complete: merge with any prior shard
+                            # and persist once (partial-progress semantics
+                            # like the reference's per-image writes)
+                            merged = dict(fresh.pop(i))
+                            old = recs.get(i)
+                            if old is not None:
+                                for j2 in old["processed"]:
+                                    if j2 not in merged:
+                                        merged[j2] = old["pairs"].get(
+                                            j2, (np.empty(0, np.int64),
+                                                 np.empty(0, np.int64)))
+                            fstore.write_image_matches(self.out, i, merged)
                 if verbose:
                     print(f"matching batch {bi + 1}/{n_batches} "
                           f"({min((bi + 1) * B, len(todo))}/{len(todo)} pairs)")

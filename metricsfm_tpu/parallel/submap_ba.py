@@ -76,12 +76,73 @@ def build_submap_problems(scene, kp_xy: Dict[int, np.ndarray],
     Cp = bucket(max(len(p) for p in parts), 8)
     V = max_views
 
+    # ---- vectorized observation harvest off the scene's flat log ----
+    # (the per-track Python loops this replaces were O(S * tracks * obs)
+    # — minutes of host time per hierarchical full BA at the 1k scale)
+    t_all, i_all, k_all = scene._obs_arrays()
+    bad = scene.bad_mask()
+    n_tr = len(scene.tracks)
+    # keep-LAST per (track, img): Track.obs dict-overwrite semantics
+    pos = np.arange(len(t_all))
+    key = t_all * np.int64(scene.n_images) + i_all
+    srt = np.lexsort((pos, key))
+    key_s = key[srt]
+    last = np.ones(len(srt), bool)
+    if len(srt) > 1:
+        last[:-1] = key_s[1:] != key_s[:-1]
+    sel = srt[last]
+    tD, iD, kD = t_all[sel], i_all[sel], k_all[sel]   # track-major order
+    liveD = ~bad[tD] if bad.size else np.ones(len(tD), bool)
+    tD, iD, kD = tD[liveD], iD[liveD], kD[liveD]
+
+    # concatenated keypoint store for uv lookups
+    all_imgs = sorted(kp_xy.keys())
+    base = np.full(scene.n_images + 1, -1, np.int64)
+    off = 0
+    uv_parts = []
+    for im in all_imgs:
+        base[im] = off
+        xy = np.asarray(kp_xy[im], np.float64).reshape(-1, 2)
+        uv_parts.append(xy)
+        off += len(xy)
+    uv_all = np.concatenate(uv_parts) if uv_parts else np.zeros((0, 2))
+
     sub_tracks: List[List[int]] = []
-    for part in parts:
-        pset = set(part)
-        rows = [ti for ti, t in enumerate(scene.tracks)
-                if not t.is_bad and sum(1 for im in t.obs if im in pset) >= 2]
-        sub_tracks.append(rows)
+    sub_obs = []           # per part: (p_row, cam_row, uv) arrays
+    for s, part in enumerate(parts):
+        row_of_arr = np.full(scene.n_images, -1, np.int64)
+        row_of_arr[np.asarray(part, np.int64)] = np.arange(len(part))
+        cam_row = row_of_arr[iD]
+        m = cam_row >= 0
+        tw, cw, kw = tD[m], cam_row[m], kD[m]
+        # tracks with >= 2 observations inside the window
+        cnt = np.bincount(tw, minlength=n_tr)
+        keep_tr = np.nonzero(cnt >= 2)[0]
+        sub_tracks.append(keep_tr.tolist())
+        prow_of = np.full(n_tr, -1, np.int64)
+        prow_of[keep_tr] = np.arange(len(keep_tr))
+        pr = prow_of[tw]
+        ok = pr >= 0
+        tw, cw, kw, pr = tw[ok], cw[ok], kw[ok], pr[ok]
+        # per-track slot index (tw is track-major sorted within the dedup)
+        ord2 = np.argsort(tw, kind="stable")
+        tw, cw, kw, pr = tw[ord2], cw[ord2], kw[ord2], pr[ord2]
+        uniq, start, n_per_t = np.unique(tw, return_index=True,
+                                         return_counts=True)
+        slot = np.arange(len(tw)) - np.repeat(start, n_per_t)
+        n_per = np.repeat(n_per_t, n_per_t)
+        # V-cap: spread kept views across the track, rotated by p_row
+        # (fixed subsampling starves the same cameras in every track)
+        u = (slot - pr) % n_per
+        c1 = -(-(u * V) // n_per)
+        c2 = -(-((u + 1) * V) // n_per)
+        keepv = (n_per <= V) | ((c1 < c2) & (c1 < V))
+        tw, cw, kw, pr = tw[keepv], cw[keepv], kw[keepv], pr[keepv]
+        uniq3, start3, cnt3 = np.unique(tw, return_index=True,
+                                        return_counts=True)
+        vslot = np.arange(len(tw)) - np.repeat(start3, cnt3)
+        uv = uv_all[base[iD[m][ok][ord2][keepv]] + kw]
+        sub_obs.append((pr, vslot, cw, uv))
     Pp = bucket(max(max((len(r) for r in sub_tracks), default=1), 1))
 
     poses = np.zeros((S, Cp, 6), dtype)
@@ -96,32 +157,24 @@ def build_submap_problems(scene, kp_xy: Dict[int, np.ndarray],
 
     prior_w = np.zeros((S, Cp, 6), dtype)
 
+    xyz_all = (np.stack([t.xyz for t in scene.tracks])
+               if scene.tracks else np.zeros((0, 3)))
     infos = []
     for s, part in enumerate(parts):
-        row_of = {im: r for r, im in enumerate(part)}
         for r, im in enumerate(part):
             poses[s, r] = scene.poses[im]
             m = scene.models[scene.model_of_image[im]]
             intrs[s, r] = [m.f, m.k1, m.k2]
             pose_mut[s, r] = 1.0
             prior_w[s, r] = gauge_weight
-        for p_row, ti in enumerate(sub_tracks[s]):
-            t = scene.tracks[ti]
-            points[s, p_row] = t.xyz
-            in_win = [(im, kp) for im, kp in t.obs.items() if im in row_of]
-            if len(in_win) > V:
-                # spread the kept views across the track AND rotate the
-                # pattern per track — a fixed subsample starves the same
-                # cameras in every track (first-V truncation starved the
-                # window tail outright)
-                n = len(in_win)
-                sel = sorted({(k * n // V + p_row) % n for k in range(V)})
-                in_win = [in_win[k] for k in sel]
-            for n, (im, kp) in enumerate(in_win):
-                track_cam[s, p_row, n] = row_of[im]
-                track_uv[s, p_row, n] = kp_xy[im][kp]
-                track_mask[s, p_row, n] = True
-            point_mut[s, p_row] = 1.0
+        rows = np.asarray(sub_tracks[s], np.int64)
+        if rows.size:
+            points[s, :rows.size] = xyz_all[rows]
+            point_mut[s, :rows.size] = 1.0
+            pr, vslot, cw, uv = sub_obs[s]
+            track_cam[s, pr, vslot] = cw.astype(np.int32)
+            track_uv[s, pr, vslot] = uv
+            track_mask[s, pr, vslot] = True
         infos.append({"images": part, "tracks": sub_tracks[s]})
 
     probs = ba_problem.build_problem(
