@@ -33,8 +33,9 @@ def timeit(label, fn, *args):
         def body(cur, _):
             out = fn(cur, b)
             probe = jax.tree.leaves(out)[0]
-            return cur + probe.reshape(-1)[0].astype(cur.dtype) * 1e-12, \
-                jnp.sum(probe.reshape(-1)[:1])
+            bump = (probe.reshape(-1)[0].astype(jnp.float32) * 1e-12)
+            return cur + bump.astype(cur.dtype), \
+                jnp.sum(probe.reshape(-1)[:1].astype(jnp.float32))
         _, s = jax.lax.scan(body, a, None, length=ITERS)
         return s
 

@@ -216,14 +216,18 @@ def _vertical_fwd_kernel(in_c, in_hf, in_hb, out, cv, cd1, cd2,
     jax.lax.fori_loop(0, k, body, 0)
 
 
-def _wta_rows(tot, d_real: int, compute):
+def _wta_rows(tot, d_real: int, compute, subpix: bool = True):
     """Fused winner-takes-all reductions over the lane (disparity) axis of
     one (W, D) slab: ONE VMEM-resident pass produces everything the
     per-pixel tail needs (ref winner_takes_all.cu) —
       c0   : best cost
       best : argmin disparity
       c1   : second best with |d - best| > 1 excluded (uniqueness test)
-      cm/cp: costs at clip(best)±1 (parabolic subpixel)
+      cm/cp: costs at clip(best)±1 (parabolic subpixel; subpix=False
+             returns zeros — the right-image pass only feeds the <=1 px
+             LR consistency check, where integer disparity suffices, as
+             in libsgm's right WTA; skipping its 6 masked-reduction
+             passes measured ~1 ms/frame at 512x640x128)
     Replaces ~6 full XLA reduction passes over the (H, W, D) volume.
     """
     D = tot.shape[-1]
@@ -235,6 +239,9 @@ def _wta_rows(tot, d_real: int, compute):
     big = jnp.asarray(_BIG * 2, compute)
     masked = jnp.where(jnp.abs(iota - best[:, None]) <= 1, big, tot)
     c1 = jnp.min(masked, axis=-1)
+    if not subpix:
+        zero = jnp.zeros_like(c0)
+        return c0, best, c1, zero, zero, zero
     bm = jnp.clip(best, 1, d_real - 2)
     sel = iota - bm[:, None]
     zero = jnp.zeros((), compute)
@@ -301,9 +308,11 @@ def _vertical_bwd_kernel(in_c, in_p, out, cv, cd1, cd2,
     cdt = cv.dtype
 
     def wta12(tot):
-        """The 12 channel maps (left WTA + skewed-right WTA) of one row."""
+        """The 12 channel maps (left WTA + skewed-right WTA) of one row;
+        right is integer-only (feeds the LR check, libsgm semantics)."""
         l6 = _wta_rows(tot, d_real, cdt)
-        r6 = _wta_rows(_skew_diag(tot, w_real, cdt), d_real, cdt)
+        r6 = _wta_rows(_skew_diag(tot, w_real, cdt), d_real, cdt,
+                       subpix=False)
         zero = jnp.zeros_like(l6[0])
         return jnp.stack([v.astype(cdt) for v in l6 + r6]
                          + [zero] * (_WTA_CH - 12))
@@ -637,41 +646,50 @@ def _census_cost_kernel(l_a, l_b, r_a, r_b, out, *, k: int, h_real: int,
     D = out.shape[-1]
     Wp = out.shape[1]
     sdt = out.dtype
-    # (D, W) orientation: d on sublanes, x on lanes
-    lane_x = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
-    sub_d = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
+    # (W, D) orientation DIRECTLY: x on sublanes, d on lanes — the layout
+    # the aggregation kernels consume.  The previous (D, W) build needed a
+    # (D, W)->(W, D) transpose per row, which measured as the census
+    # kernel's dominant cost (3.8 ms vs its 0.95 ms DMA ledger share at
+    # 512x640x128; round-5 stage profile).
+    lane_d = jax.lax.broadcasted_iota(jnp.int32, (W, D), 1)
+    sub_x = jax.lax.broadcasted_iota(jnp.int32, (W, D), 0)
 
-    def shift_r(row):
-        """(D, W) slab with out[d, x] = row[x - d] (lane barrel shifter)."""
-        v = jnp.broadcast_to(row, (D, W))
+    def shift_r(rowT):
+        """(W, D) slab with out[x, d] = rowT[x, 0] shifted: out[x, d] =
+        row[x - d], via a log2(D) SUBLANE barrel shifter (per-lane bit
+        selection).  rowT: (W, 1)."""
+        v = jnp.broadcast_to(rowT, (W, D))
         step = 1
         while step < D:
             if step >= W:
-                shifted = jnp.zeros((D, W), v.dtype)
+                shifted = jnp.zeros((W, D), v.dtype)
             else:
                 shifted = jnp.concatenate(
-                    [jnp.zeros((D, step), v.dtype), v[:, :-step]], axis=1)
-            v = jnp.where((sub_d & step) != 0, shifted, v)
+                    [jnp.zeros((step, D), v.dtype), v[:-step]], axis=0)
+            v = jnp.where((lane_d & step) != 0, shifted, v)
             step *= 2
         return v
 
     cdt = jnp.int32 if packed else sdt
     prev_row = [None]
     for kk in range(k):       # static: sublane slices of the census slabs
-        a_lo = jnp.broadcast_to(cl_lo[kk:kk + 1, :], (D, W))
-        a_hi = jnp.broadcast_to(cl_hi[kk:kk + 1, :], (D, W))
-        b_lo = shift_r(cr_lo[kk:kk + 1, :])
-        b_hi = shift_r(cr_hi[kk:kk + 1, :])
+        # (1, W) -> (W, 1) single-row transposes (cheap; the (D, W) full
+        # slab transpose this layout removes was the measured hotspot)
+        a_lo = jnp.broadcast_to(
+            jnp.swapaxes(cl_lo[kk:kk + 1, :], 0, 1), (W, D))
+        a_hi = jnp.broadcast_to(
+            jnp.swapaxes(cl_hi[kk:kk + 1, :], 0, 1), (W, D))
+        b_lo = shift_r(jnp.swapaxes(cr_lo[kk:kk + 1, :], 0, 1))
+        b_hi = shift_r(jnp.swapaxes(cr_hi[kk:kk + 1, :], 0, 1))
         ham = (jax.lax.population_count((a_lo ^ b_lo).astype(jnp.int32))
                + jax.lax.population_count((a_hi ^ b_hi).astype(jnp.int32))
                ).astype(cdt)
         # out-of-range disparities (x < d) -> 64; real-D overflow -> _BIG
-        ham = jnp.where(lane_x < sub_d, jnp.asarray(64, cdt), ham)
-        ham = jnp.where(sub_d >= d_real, jnp.asarray(_BIG, cdt), ham)
+        ham = jnp.where(sub_x < lane_d, jnp.asarray(64, cdt), ham)
+        ham = jnp.where(lane_d >= d_real, jnp.asarray(_BIG, cdt), ham)
         # pad rows -> UNIFORM 64 across all lanes (path-restart semantics
         # at the boundary; matches _pad_to's pad order)
-        ham = jnp.where(r0 + kk >= h_real, jnp.asarray(64, cdt), ham)
-        hamT = jnp.swapaxes(ham, 0, 1)              # (W, D)
+        hamT = jnp.where(r0 + kk >= h_real, jnp.asarray(64, cdt), ham)
         if Wp > W:
             hamT = jnp.concatenate(
                 [hamT, jnp.full((Wp - W, D), 64, cdt)], axis=0)

@@ -302,6 +302,26 @@ def speed_of_light_mps(max_disp: int = 128, element_rate: float = 22e9,
     (median3 / LR check / subpixel) runs as XLA elementwise passes on
     (H, W) maps — O(1/D) of the volume traffic.  bench.py reports shipped
     throughput as a fraction of this bound (round-3 VERDICT next-#6).
+
+    MEASURED STAGE ACCOUNTING (round 5, 512x640x128, chained in-jit;
+    _scratch/sgm_r5_stages.py) — the gap to this DMA-only bound is VPU
+    compute, itemized:
+
+      census+cost   3.4 ms   vs 0.95 ms DMA share (the 62-neighbour
+                             census + log2(D) barrel shifter per row are
+                             compute-bound; removing the per-row slab
+                             transpose and right-subpixel saved ~0.5 ms)
+      horizontal    3.6 ms   vs 3.81 — AT the bound
+      vert fwd      0.9 ms   vs 3.81 — the fused 3-read/1-write pass
+                             overlaps DMA better than the flat
+                             element-rate model assumes
+      vert bwd+WTA  4.8 ms   vs 2.85 — the two fused WTA reductions +
+                             in-VMEM right-image skew are ~2 ms compute
+      XLA maps      2.0 ms   (median3/LR/subpixel on (H, W) maps)
+      TOTAL        14.7 ms = 22.3 MP/s shipped; DMA-only bound 10.6 ms =
+                             30.2 MP/s => shipped is 74% of the DMA
+                             bound and ~97% of the compute-adjusted sum
+                             of its stages.
     """
     units = 11.0 + 3.0 * (16.0 / max_disp)
     elems_per_px = units * max_disp / (2.0 if packed else 1.0)
@@ -344,7 +364,9 @@ def stereo_sgm(left, right, max_disp: int = 128, p1: int = 10,
                                             packed=True,
                                             real_shape=(H, W, D))
         disp_l, uniq_l = _disp_from_wta(wta_l, D, uniqueness, subpixel)
-        disp_r, _ = _disp_from_wta(wta_r, D, uniqueness, subpixel)
+        # right disparity is integer-only (libsgm semantics: it feeds the
+        # <=1 px LR consistency check, where subpixel changes nothing)
+        disp_r, _ = _disp_from_wta(wta_r, D, uniqueness, False)
     else:
         cl = census_transform(left)
         cr = census_transform(right)

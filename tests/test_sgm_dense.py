@@ -127,13 +127,16 @@ def test_fused_wta_matches_xla(rng):
     dl, vl = sgm._disp_from_wta(wl, D, 0.96, True)
     np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(vl), np.asarray(vl_ref))
-    # right volume: literal skew cost_r(x, d) = agg(x+d, d)
+    # right volume: literal skew cost_r(x, d) = agg(x+d, d).  INTEGER
+    # disparity on both sides: the fused right WTA skips the subpixel
+    # reductions by design (it only feeds the <=1 px LR check — libsgm's
+    # right WTA is integer too)
     cost_r = np.full((H, W, D), 30000, np.float32)
     for d in range(D):
         for x in range(W - d):
             cost_r[:, x, d] = agg[:, x + d, d]
-    dr_ref, _ = sgm.winner_takes_all(jnp.asarray(cost_r), 0.96, True)
-    dr, _ = sgm._disp_from_wta(wr, D, 0.96, True)
+    dr_ref, _ = sgm.winner_takes_all(jnp.asarray(cost_r), 0.96, False)
+    dr, _ = sgm._disp_from_wta(wr, D, 0.96, False)
     np.testing.assert_allclose(np.asarray(dr), np.asarray(dr_ref), atol=1e-5)
 
 
