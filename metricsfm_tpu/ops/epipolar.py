@@ -62,13 +62,87 @@ def _smallest_right_singular(A):
     return V[..., :, 0]
 
 
-def fundamental_8pt(pts1, pts2, weights=None):
+def _nullvec_minimal(A):
+    """Exact null vector of a MINIMAL (..., k, k+1) linear system via k
+    unrolled Householder reflections (QR of A^T; the null vector is the
+    last column of Q).
+
+    XLA's batched eigh/SVD on tiny matrices lowers to sequential loops —
+    the vmapped 9x9 eigh of the 8-point RANSAC hypothesis solves
+    measured ~140 ms per 32-pair batch, the match-stage bottleneck at
+    the 1k-image scale; k unrolled reflector applications are pure
+    batched FMAs.  (A shifted power iteration was tried first and is NOT
+    usable here: the spectral gap ratio (sigma - l8)/sigma of a minimal
+    sample is ~1, so 64 iterations leave ~70% of the off-null component
+    — measured as a 4x inlier-count collapse.)  Exact for rank-k
+    samples; rank-deficient (degenerate) samples produce an arbitrary
+    null-space vector, which consensus scoring discards.
+    """
+    k, k1 = A.shape[-2], A.shape[-1]
+    At = jnp.swapaxes(A, -1, -2)                       # (..., k+1, k)
+    vs = []
+    R = At
+    for c in range(k):
+        x = R[..., :, c]
+        # zero the already-eliminated entries so the reflector acts on
+        # the trailing subvector only
+        rows = jnp.arange(k1)
+        live = (rows >= c).astype(A.dtype)
+        x = x * live
+        alpha = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
+        sign = jnp.where(x[..., c:c + 1] >= 0, 1.0, -1.0)
+        v = x + sign * alpha * (rows == c).astype(A.dtype)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                            _EPS)
+        vs.append(v)
+        R = R - 2.0 * v[..., :, None] * jnp.sum(
+            v[..., :, None] * R, axis=-2, keepdims=True)
+    # null vector = Q e_{k+1} = H_1 ... H_k e_{k+1}
+    u = jnp.zeros(A.shape[:-2] + (k1,), A.dtype
+                  ).at[..., k1 - 1].set(1.0)
+    for v in reversed(vs):
+        u = u - 2.0 * v * jnp.sum(v * u, axis=-1, keepdims=True)
+    return u
+
+
+def _rank2_project(F):
+    """Zero the smallest singular value of (..., 3, 3) F without an SVD.
+
+    v3 (smallest right-singular vector) via the ADJUGATE: adj(F) =
+    V diag(s2 s3, s1 s3, s1 s2) U^T, so as s3 -> 0 the adjugate collapses
+    to s1 s2 v3 u3^T and every column aligns with v3 up to O(s3/s2).
+    The columns of adj(F) are the cross products of row pairs of F; take
+    the largest.  Then F - (F v3) v3^T removes the v3 input direction —
+    equal to U diag(s1, s2, 0) V^T up to the same O(s3/s2) error, which
+    consensus scoring absorbs (8-point solutions have small s3 unless
+    the sample is outlier-ridden, and those lose the vote anyway)."""
+    r0, r1, r2 = F[..., 0, :], F[..., 1, :], F[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+    n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+    n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+    best = jnp.where(n01 >= jnp.maximum(n02, n12), c01,
+                     jnp.where(n02 >= n12, c02, c12))
+    v3 = best / jnp.maximum(
+        jnp.linalg.norm(best, axis=-1, keepdims=True), _EPS)
+    Fv = jnp.einsum("...ij,...j->...i", F, v3)
+    return F - Fv[..., :, None] * v3[..., None, :]
+
+
+def fundamental_8pt(pts1, pts2, weights=None, exact: bool = True):
     """Hartley-normalized 8-point fundamental matrix.
 
     Args:
       pts1, pts2: (..., N, 2) centered pixel correspondences, N >= 8.
       weights: optional (..., N) row weights (0 masks a row) — enables
         masked non-minimal refits on inlier sets without dynamic shapes.
+      exact: True = eigh/SVD decompositions (refits, seed paths);
+        False = unrolled Householder-QR null vector (exact for minimal
+        8-row samples) + adjugate rank-2 projection — no tiny-matrix
+        LAPACK calls, built for the vmapped RANSAC hypothesis solves.
+        Requires N == 8; larger systems fall back to the exact path.
     Returns:
       F: (..., 3, 3) with x2^T F x1 = 0, rank-2 enforced, |F| = 1.
     """
@@ -81,25 +155,38 @@ def fundamental_8pt(pts1, pts2, weights=None):
                   axis=-1)  # (..., N, 9)
     if weights is not None:
         A = A * weights[..., None]
-    f = _smallest_right_singular(A)
+    exact = exact or pts1.shape[-2] != 8
+    if exact:
+        f = _smallest_right_singular(A)
+    else:
+        f = _nullvec_minimal(A)
     F = f.reshape(*f.shape[:-1], 3, 3)
     # enforce rank 2
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[..., 2].set(0.0)
-    F = (U * S[..., None, :]) @ Vt
+    if exact:
+        U, S, Vt = jnp.linalg.svd(F)
+        S = S.at[..., 2].set(0.0)
+        F = (U * S[..., None, :]) @ Vt
+    else:
+        F = _rank2_project(F)
     # denormalize: x2n^T F x1n = 0 with xn = T x  =>  F_px = T2^T F T1
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
     norm = jnp.linalg.norm(F.reshape(*F.shape[:-2], 9), axis=-1)
     return F / jnp.maximum(norm[..., None, None], _EPS)
 
 
-def essential_8pt(norm1, norm2, weights=None):
+def essential_8pt(norm1, norm2, weights=None, exact: bool = True):
     """Essential matrix from >=8 K-normalized correspondences.
 
     8-point linear system + SVD projection to the essential manifold
-    (singular values (1,1,0)).  Non-minimal by design — see module docstring.
+    (singular values (1,1,0)).  Non-minimal by design — see module
+    docstring.  exact=False (RANSAC hypothesis path) returns the rank-2
+    F without the manifold projection: Sampson scoring is F-scale
+    invariant and consensus absorbs the sigma1/sigma2 mismatch; the
+    winner's refit re-projects exactly.
     """
-    F = fundamental_8pt(norm1, norm2, weights)
+    F = fundamental_8pt(norm1, norm2, weights, exact=exact)
+    if not exact:
+        return F
     U, S, Vt = jnp.linalg.svd(F)
     s = (S[..., 0] + S[..., 1]) * 0.5
     S_e = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)

@@ -20,11 +20,17 @@ from . import epipolar
 
 
 def _sample_indices(key, n, mask, num_hypotheses, sample_size):
-    """(H, S) index samples drawn from valid entries (without replacement)."""
+    """(H, S) index samples drawn from valid entries (without replacement).
+
+    Gumbel top-k: one (H, N) gumbel draw + top_k is an exact uniform
+    without-replacement sample over the masked support — the vmapped
+    jax.random.choice(p=softmax) this replaces ran a per-hypothesis
+    weighted-reservoir chain that measured ~50 ms per 32-pair batch
+    (a quarter of the match-verify wall; round 5)."""
     logits = jnp.where(mask, 0.0, -1e9)
-    keys = jax.random.split(key, num_hypotheses)
-    return jax.vmap(lambda k: jax.random.choice(
-        k, n, shape=(sample_size,), replace=False, p=jax.nn.softmax(logits)))(keys)
+    g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
+    _, idx = jax.lax.top_k(g + logits[None, :], sample_size)
+    return idx
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "refit_rounds"))
@@ -42,7 +48,8 @@ def fundamental_ransac(pts1, pts2, key, mask=None, num_hypotheses: int = 256,
     m = jnp.ones((N,), bool) if mask is None else mask.astype(bool)
     idx = _sample_indices(key, N, m, num_hypotheses, 8)
 
-    Fs = jax.vmap(lambda si: epipolar.fundamental_8pt(pts1[si], pts2[si]))(idx)
+    Fs = jax.vmap(lambda si: epipolar.fundamental_8pt(
+        pts1[si], pts2[si], exact=False))(idx)
     d = epipolar.epipolar_distance(Fs, pts1, pts2)          # (H, N)
     inl = (d < th_px) & m[None, :]
     n_inl = jnp.sum(inl, axis=-1)
@@ -78,7 +85,8 @@ def essential_ransac(norm1, norm2, key, mask=None, num_hypotheses: int = 256,
     m = jnp.ones((N,), bool) if mask is None else mask.astype(bool)
     idx = _sample_indices(key, N, m, num_hypotheses, 8)
 
-    Es = jax.vmap(lambda si: epipolar.essential_8pt(norm1[si], norm2[si]))(idx)
+    Es = jax.vmap(lambda si: epipolar.essential_8pt(
+        norm1[si], norm2[si], exact=False))(idx)
     d = epipolar.sampson_distance(Es, norm1, norm2)
     inl = (d < th_sampson) & m[None, :]
     n_inl = jnp.sum(inl, axis=-1)

@@ -130,7 +130,10 @@ def test_builder_sharded_mesh(rng):
     mesh = Mesh(np.array(jax.devices()), ("data",))
     out = MatchGraphBuilder(opts, batch_pairs=8, mesh=mesh).build(
         feats, candidates_all(5))
-    ref = MatchGraphBuilder(opts, batch_pairs=4).build(
+    # SAME batch size as the sharded builder: per-pair RANSAC keys are a
+    # function of the batch layout, so differing batch sizes compare
+    # different random draws (borderline pairs flip), not the sharding
+    ref = MatchGraphBuilder(opts, batch_pairs=8).build(
         feats, candidates_all(5))
     assert set(out) == set(ref)
     _check_matches(out, perms)
