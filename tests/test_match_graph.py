@@ -161,3 +161,33 @@ def test_candidates_bow_topk():
                    float)
     pairs = candidates_bow(sim, min_c=1, max_c=1)
     assert (0, 1) in pairs and (2, 3) in pairs
+
+
+def test_image_match_shard_merge(tmp_path):
+    """Per-image match shards ({i}_match, ref fine_matching_graph.cc:182)
+    keep per-pair resume granularity: a resumed build must skip processed
+    pairs (including EMPTY ones) and merge newly-processed pairs into the
+    existing shard."""
+    from metricsfm_tpu.io import store as fstore
+    out = str(tmp_path)
+    a = np.arange(5, dtype=np.int64)
+    # first partial run: pair (0,1) kept, pair (0,2) processed-but-empty
+    fstore.write_image_matches(out, 0, {
+        1: (a, a + 1),
+        2: (np.empty(0, np.int64), np.empty(0, np.int64))})
+    r = fstore.read_image_matches(out, 0)
+    assert r["processed"] == {1, 2}
+    assert set(r["pairs"]) == {1}
+    np.testing.assert_array_equal(r["pairs"][1][1], a + 1)
+    # resume: pair (0,3) arrives; merge must keep 1 and the empty 2
+    merged = {3: (a[:2], a[:2] + 7)}
+    old = fstore.read_image_matches(out, 0)
+    for j in old["processed"]:
+        if j not in merged:
+            merged[j] = old["pairs"].get(
+                j, (np.empty(0, np.int64), np.empty(0, np.int64)))
+    fstore.write_image_matches(out, 0, merged)
+    r2 = fstore.read_image_matches(out, 0)
+    assert r2["processed"] == {1, 2, 3}
+    assert set(r2["pairs"]) == {1, 3}
+    np.testing.assert_array_equal(r2["pairs"][3][0], a[:2])
