@@ -128,7 +128,40 @@ class Database:
             bk = jit_pad_to or self._shape_bucket(h, w)
             buckets.setdefault(tuple(bk), []).append(i)
 
+        def _drain(pending):
+            """Fetch + persist one previously-dispatched batch."""
+            chunk, loaded, out_dev, (Hb, Wb) = pending
+            # one host transfer for the whole output tree (per-leaf
+            # np.asarray fetches pay a ~26 ms round trip each)
+            out = jax.device_get(out_dev)
+            for b, i in enumerate(chunk):
+                img, ratio, info = loaded[i]
+                H, W = img.shape
+                # re-center: extract() centers at the PADDED image
+                # center; shift back to the original one and drop
+                # detections that fall inside the padding
+                xy_pix = out["xy"][b] + np.array([Wb / 2.0, Hb / 2.0])
+                margin = 8.0
+                ok = out["mask"][b] & (xy_pix[:, 0] < W - margin) & \
+                    (xy_pix[:, 1] < H - margin)
+                xy = xy_pix - np.array([W / 2.0, H / 2.0])
+                fstore.write_features(
+                    self.out, i,
+                    xy=xy, desc=out["desc"][b], mask=ok,
+                    sigma=out["sigma"][b], angle=out["angle"][b],
+                    meta={"width": W, "height": H,
+                          "focal_px": info.get("focal_px", 0.0) * ratio,
+                          "gps": info.get("gps", (0.0, 0.0, 0.0)),
+                          "path": self.image_paths[i]},
+                    native=self.opts.use_native_store)
+            return len(chunk)
+
+        # double-buffered: dispatch batch N (async — jax returns before
+        # the device finishes), decode batch N+1 on host while it runs,
+        # then drain N.  Decode and device extraction fully overlap; the
+        # serial form paid them back-to-back.
         done = 0
+        pending = None
         for (Hb, Wb), idxs in buckets.items():
             for start in range(0, len(idxs), batch_size):
                 chunk = idxs[start:start + batch_size]
@@ -139,33 +172,16 @@ class Database:
                     info = exif_util.extract_image_info(self.image_paths[i])
                     loaded[i] = (img, ratio, info)
                     batch[b, :img.shape[0], :img.shape[1]] = img[:Hb, :Wb]
-                # one host transfer for the whole output tree (per-leaf
-                # np.asarray fetches pay a ~26 ms round trip each)
-                out = jax.device_get(extract_b(jnp.asarray(batch)))
-                for b, i in enumerate(chunk):
-                    img, ratio, info = loaded[i]
-                    H, W = img.shape
-                    # re-center: extract() centers at the PADDED image
-                    # center; shift back to the original one and drop
-                    # detections that fall inside the padding
-                    xy_pix = out["xy"][b] + np.array([Wb / 2.0, Hb / 2.0])
-                    margin = 8.0
-                    ok = out["mask"][b] & (xy_pix[:, 0] < W - margin) & \
-                        (xy_pix[:, 1] < H - margin)
-                    xy = xy_pix - np.array([W / 2.0, H / 2.0])
-                    fstore.write_features(
-                        self.out, i,
-                        xy=xy, desc=out["desc"][b], mask=ok,
-                        sigma=out["sigma"][b], angle=out["angle"][b],
-                        meta={"width": W, "height": H,
-                              "focal_px": info.get("focal_px", 0.0) * ratio,
-                              "gps": info.get("gps", (0.0, 0.0, 0.0)),
-                              "path": self.image_paths[i]},
-                        native=self.opts.use_native_store)
-                done += len(chunk)
-                if verbose:
-                    print(f"features {done}/{len(missing)} "
-                          f"(bucket {Hb}x{Wb})")
+                out_dev = extract_b(jnp.asarray(batch))
+                if pending is not None:
+                    done += _drain(pending)
+                    if verbose:
+                        print(f"features {done}/{len(missing)}")
+                pending = (chunk, loaded, out_dev, (Hb, Wb))
+        if pending is not None:
+            done += _drain(pending)
+            if verbose:
+                print(f"features {done}/{len(missing)}")
 
     def features(self, i: int) -> ImageFeatures:
         """Lazy paged read (ref ReadinImageFeatures/Release,
